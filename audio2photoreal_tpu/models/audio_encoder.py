@@ -1,0 +1,156 @@
+"""Frozen audio feature extractors, JAX-native.
+
+The reference leans on two fairseq checkpoints (model/utils.py:18-26,
+model/modules/audio_encoder.py:12-76):
+
+- **vq-wav2vec** ``feature_extractor`` — used by both diffusion denoisers and
+  the guide LM: per channel, 48 kHz → 16 kHz resample, then a 5-layer valid
+  (unpadded) conv stack with strides 5·4·2·2·2 = 160, giving 1998 feature
+  frames for a 20 s clip (matches the reference's hardcoded emb_len,
+  model/diffusion.py:136-137).  Channels are concatenated → [B, T_a, 1024].
+- **wav2vec_large** extractor+aggregator — used inside the lip regressor
+  (audio_encoder.py:24-76): same extractor shape plus a deep residual conv
+  aggregator, with 320-sample zero padding and per-frame interpolation.
+
+Both are re-implemented as Flax modules whose parameter trees line up 1:1
+with the fairseq conv stacks so released checkpoints convert mechanically
+(see train/convert.py).  They are inference-only (frozen) in every pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from audio2photoreal_tpu.core.config import WAV2VEC_SR
+from audio2photoreal_tpu.ops.convs import valid_conv1d
+from audio2photoreal_tpu.ops.resample import resample
+
+# (dim, kernel, stride) — fairseq wav2vec/vq-wav2vec feature extractor spec
+VQ_WAV2VEC_SPEC: Tuple[Tuple[int, int, int], ...] = (
+    (512, 10, 5),
+    (512, 8, 4),
+    (512, 4, 2),
+    (512, 4, 2),
+    (512, 4, 2),
+)
+
+
+def feature_frames(n_samples: int, spec=VQ_WAV2VEC_SPEC) -> int:
+    """Output length of the valid conv stack (e.g. 320000 → 1998)."""
+    t = n_samples
+    for _, k, s in spec:
+        t = (t - k) // s + 1
+    return t
+
+
+class _GroupNormAll(nn.Module):
+    """fairseq's Fp32GroupNorm(1, dim) — normalize over (C, T) jointly."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C]
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=(1, 2), keepdims=True)
+        var = x32.var(axis=(1, 2), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (y * scale + bias).astype(x.dtype)
+
+
+class ConvFeatureExtractor(nn.Module):
+    """fairseq ConvFeatureExtractionModel equivalent (valid convs, group norm,
+    ReLU, optional log compression)."""
+
+    spec: Tuple[Tuple[int, int, int], ...] = VQ_WAV2VEC_SPEC
+    log_compression: bool = True
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:  # [B, S] → [B, T, 512]
+        x = wav[..., None]  # [B, S, 1]
+        for i, (dim, k, s) in enumerate(self.spec):
+            kernel = self.param(
+                f"conv{i}_kernel",
+                nn.initializers.lecun_normal(),
+                (k, x.shape[-1], dim),
+            )
+            b = self.param(f"conv{i}_bias", nn.initializers.zeros, (dim,)) if self.bias else None
+            x = valid_conv1d(x, kernel, b, stride=s)
+            x = _GroupNormAll(dim, name=f"norm{i}")(x)
+            x = nn.relu(x)
+        if self.log_compression:
+            x = jnp.log(jnp.abs(x) + 1.0)
+        return x
+
+
+class ConvAggregator(nn.Module):
+    """fairseq wav2vec ConvAggegator equivalent: residual conv stack with
+    left-padding (used only by the lip-regressor's Wav2VecEncoder)."""
+
+    layers: Tuple[Tuple[int, int, int], ...] = tuple((512, k, 1) for k in range(2, 11))
+    skip_connections: bool = True
+    residual_scale: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C]
+        for i, (dim, k, s) in enumerate(self.layers):
+            residual = x
+            kernel = self.param(
+                f"conv{i}_kernel", nn.initializers.lecun_normal(), (k, x.shape[-1], dim)
+            )
+            bias = self.param(f"conv{i}_bias", nn.initializers.zeros, (dim,))
+            # left-pad so output length == input length (causal-style)
+            pad = k - 1
+            xp = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
+            y = valid_conv1d(xp, kernel, bias, stride=s)
+            y = _GroupNormAll(dim, name=f"norm{i}")(y)
+            y = nn.relu(y)
+            if self.skip_connections and residual.shape[-1] == dim:
+                y = (y + residual) * self.residual_scale
+            x = y
+        return x
+
+
+class Wav2VecFeatureExtractor(nn.Module):
+    """The conditioning encoder used by denoisers + guide LM.
+
+    [B, S, 2] raw 48 kHz stereo → [B, T_a, 1024]: resample each channel to
+    16 kHz, run the frozen conv extractor, concat channel features
+    (reference: model/diffusion.py:285-293, model/guide.py:121-129).
+    """
+
+    input_sr: int = 48_000
+
+    @nn.compact
+    def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:
+        extractor = ConvFeatureExtractor(name="feature_extractor")
+        feats = []
+        for ch in range(2):
+            wav = resample(audio[..., ch], self.input_sr, WAV2VEC_SR)
+            feats.append(extractor(wav))
+        return jnp.concatenate(feats, axis=-1)  # [B, T_a, 1024]
+
+
+class Wav2VecEncoder(nn.Module):
+    """wav2vec_large extractor+aggregator (reference: audio_encoder.py:24-76):
+    mono frames [B, T, 1600] @48k → [B, T, 512], via 16 kHz features at
+    ~50 fps nearest-interpolated back to the 30 fps frame grid."""
+
+    @nn.compact
+    def __call__(self, audio_frames: jnp.ndarray) -> jnp.ndarray:
+        B, T, _ = audio_frames.shape
+        wav = audio_frames.reshape(B, -1)
+        wav16 = resample(wav, 48_000, WAV2VEC_SR)
+        wav16 = jnp.pad(wav16, ((0, 0), (0, 320)))  # reference zero-pads 320 (audio_encoder.py:41)
+        z = ConvFeatureExtractor(name="feature_extractor")(wav16)
+        c = ConvAggregator(name="feature_aggregator")(z)  # [B, Tf, 512]
+        # nearest-exact interpolate Tf → T (reference: audio_encoder.py:45-46)
+        Tf = c.shape[1]
+        idx = jnp.clip(((jnp.arange(T) + 0.5) * Tf / T).astype(jnp.int32), 0, Tf - 1)
+        return c[:, idx, :]

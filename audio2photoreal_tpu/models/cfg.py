@@ -1,0 +1,55 @@
+"""Classifier-free guidance as ONE batched forward.
+
+The reference wrapper runs two sequential forwards per step — cond then
+uncond — and combines (model/cfg_sampler.py:17-33), with the conditioning
+re-encoded in both.  TPU-native version: stack [x; x] on the batch axis with
+keep_mask [1…1, 0…0] and run the denoiser once — a 2B batch keeps the MXU
+fuller and halves launch overhead inside the sampling scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+
+from audio2photoreal_tpu.models.film_transformer import CondTokens
+
+
+def cfg_model_fn(
+    apply_fn: Callable[..., jnp.ndarray],
+    params: Any,
+    cond: CondTokens,
+    guidance_scale: float,
+):
+    """Build a `model_fn(x, t) -> out` for the samplers.
+
+    out = uncond + scale · (cond − uncond)   (cfg_sampler.py:30-33)
+    """
+    if guidance_scale == 1.0:
+
+        def model_fn(x, t):
+            B = x.shape[0]
+            keep = jnp.ones((B,), bool)
+            return apply_fn(params, x, t, cond, keep)
+
+        return model_fn
+
+    def model_fn(x, t):
+        B = x.shape[0]
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        cond2 = CondTokens(
+            cond_tokens=jnp.concatenate([cond.cond_tokens] * 2, axis=0),
+            pose_tokens=(
+                jnp.concatenate([cond.pose_tokens] * 2, axis=0)
+                if cond.pose_tokens is not None
+                else None
+            ),
+        )
+        keep = jnp.concatenate([jnp.ones((B,), bool), jnp.zeros((B,), bool)])
+        out = apply_fn(params, x2, t2, cond2, keep)
+        c, u = out[:B], out[B:]
+        return u + guidance_scale * (c - u)
+
+    return model_fn

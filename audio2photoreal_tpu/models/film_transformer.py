@@ -1,0 +1,282 @@
+"""FiLM-transformer diffusion denoiser (face codes / body pose).
+
+Re-design of the reference FiLMTransformer (model/diffusion.py:82-403) with a
+TPU-first split:
+
+- ``encode_conditioning`` runs the EXPENSIVE conditioning path once per
+  sample — frozen wav2vec features, (face) lip-regressor + cond pre-encoder,
+  (pose) keyframe projection.  The reference recomputes all of this inside
+  every one of the 500×2 CFG denoiser calls (model/diffusion.py:285-313 inside
+  forward:338) — hoisting it out of the DDIM scan is the single biggest
+  inference win.
+- ``denoise`` is the cheap per-step body called inside ``lax.scan``: null-
+  embedding swap for CFG, time embedding/FiLM, decoder stack, (pose) conv
+  post-net.
+
+CFG dropout semantics match the reference: one Bernoulli keep per sample
+applied to cond tokens, the pooled cond hidden, and (pose) keyframe tokens
+(model/diffusion.py:364-393, prob_mask_like model/utils.py:83).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from audio2photoreal_tpu.core.config import DenoiserConfig, WAV2VEC_SR
+from audio2photoreal_tpu.models.audio_encoder import Wav2VecFeatureExtractor, feature_frames
+from audio2photoreal_tpu.models.blocks import (
+    FiLMDecoderLayer,
+    RotaryEncoderLayer,
+    mish,
+)
+from audio2photoreal_tpu.models.lip_regressor import LipRegressor
+from audio2photoreal_tpu.ops.convs import conv1d, valid_conv1d
+from audio2photoreal_tpu.ops.embeddings import sinusoidal_pos_emb
+from audio2photoreal_tpu.ops.rotary import make_rotary_table
+
+
+class CondTokens(NamedTuple):
+    """Precomputed conditioning, constant across denoising steps."""
+
+    cond_tokens: jnp.ndarray  # [B, Ta, D] projected (+face-encoded) audio tokens
+    pose_tokens: Optional[jnp.ndarray]  # [B, Tk, D] projected keyframes (pose) or None
+
+
+class FiLMDenoiser(nn.Module):
+    cfg: DenoiserConfig
+
+    def setup(self):
+        c = self.cfg
+        D = c.latent_dim
+        self.audio_frontend = Wav2VecFeatureExtractor(name="audio_frontend")
+        if c.data_format == "face":
+            self.lip_model = LipRegressor(name="lip_model")
+            self.cond_encoder = [
+                RotaryEncoderLayer(D, c.num_heads, c.ff_size, c.dropout, name=f"cond_encoder_{i}")
+                for i in range(c.cond_encoder_layers)
+            ]
+        self.input_projection = nn.Dense(D, name="input_projection")
+        self.cond_projection = nn.Dense(D, name="cond_projection")
+        self.norm_cond = nn.LayerNorm(name="norm_cond")
+        # time embedding (reference: diffusion.py:120-132)
+        self.time_dense = nn.Dense(D * 4, name="time_dense")
+        self.to_time_cond = nn.Dense(D, name="to_time_cond")
+        self.to_time_tokens = nn.Dense(D * 2, name="to_time_tokens")
+        # pooled-cond FiLM path (diffusion.py:174-179)
+        self.non_attn_norm = nn.LayerNorm(name="non_attn_norm")
+        self.non_attn_d1 = nn.Dense(D, name="non_attn_d1")
+        self.non_attn_d2 = nn.Dense(D, name="non_attn_d2")
+
+        self.emb_len = feature_frames(self.max_audio_samples_16k())
+        self.null_cond_embed = self.param(
+            "null_cond_embed", nn.initializers.normal(1.0), (1, self.emb_len, D)
+        )
+        self.null_cond_hidden = self.param(
+            "null_cond_hidden", nn.initializers.normal(1.0), (1, D)
+        )
+
+        if c.data_format == "pose":
+            max_key_len = -(-c.max_seq_length // c.keyframe_step)
+            self.null_pose_embed = self.param(
+                "null_pose_embed", nn.initializers.normal(1.0), (1, max_key_len, D)
+            )
+            self.frame_cond_projection = nn.Dense(D, name="frame_cond_projection")
+            self.frame_norm_cond = nn.LayerNorm(name="frame_norm_cond")
+            # causal dilated conv post-net, receptive field 25 (diffusion.py:201-224)
+            nf = c.nfeats
+            self.post_conv_specs = [
+                (nf, max(256, nf), 3, 1),
+                (max(256, nf), nf, 3, 2),
+                (nf, nf, 3, 3),
+                (nf, nf, 3, 1),
+                (nf, nf, 3, 2),
+                (nf, nf, 3, 3),
+            ]
+            self.post_kernels = [
+                self.param(f"post_conv{i}_kernel", nn.initializers.lecun_normal(), (k, cin, cout))
+                for i, (cin, cout, k, _) in enumerate(self.post_conv_specs)
+            ]
+            self.post_biases = [
+                self.param(f"post_conv{i}_bias", nn.initializers.zeros, (cout,))
+                for i, (_, cout, _, _) in enumerate(self.post_conv_specs)
+            ]
+            self.final_conv_kernel = self.param(
+                "final_conv_kernel", nn.initializers.lecun_normal(), (1, nf, nf)
+            )
+            self.final_conv_bias = self.param("final_conv_bias", nn.initializers.zeros, (nf,))
+
+        self.layers = [
+            FiLMDecoderLayer(
+                D,
+                c.num_heads,
+                c.ff_size,
+                c.dropout,
+                use_cm=(c.data_format == "pose"),
+                name=f"decoder_{i}",
+            )
+            for i in range(c.num_layers)
+        ]
+        self.final_layer = nn.Dense(c.nfeats, name="final_layer")
+        # rotary table sized for the longest stream (audio tokens + 2 t-tokens)
+        self.rotary = make_rotary_table(D, max(self.emb_len + 2, c.max_seq_length) + 8)
+
+    def max_audio_samples_16k(self) -> int:
+        # max_seq_length frames × 1600 samples @48k → /3 at 16k
+        return self.cfg.max_seq_length * 1600 // 3
+
+    # ------------------------------------------------------------------ #
+    # conditioning (hoisted out of the sampling scan)
+    # ------------------------------------------------------------------ #
+
+    def encode_audio(self, audio: jnp.ndarray) -> jnp.ndarray:
+        """[B, S, 2] raw 48 kHz stereo → [B, Ta, 1024] frozen wav2vec features
+        (reference: diffusion.py:285-293).  stop_gradient = frozen."""
+        return jax.lax.stop_gradient(self.audio_frontend(audio))
+
+    def encode_lip(self, audio: jnp.ndarray, n_cond: int) -> jnp.ndarray:
+        """Channel-0 audio → lip vertices, chunked at 120 frames like the
+        reference (diffusion.py:295-313), nearest-exact resized to n_cond."""
+        B = audio.shape[0]
+        frames = audio[..., 0].reshape(B, -1, 1600)
+        T = frames.shape[1]
+        chunk = 120
+        pad = (-T) % chunk
+        frames = jnp.pad(frames, ((0, 0), (0, pad), (0, 0)))
+        n_chunks = frames.shape[1] // chunk
+        stacked = frames.reshape(B * n_chunks, chunk, 1600)
+        verts = self.lip_model(stacked)  # [B*n, chunk, 338, 3]
+        verts = jax.lax.stop_gradient(verts)
+        verts = verts.reshape(B, n_chunks * chunk, -1)[:, :T]  # [B, T, 1014]
+        # nearest-exact interpolation T → n_cond (diffusion.py:309-311)
+        idx = jnp.clip(((jnp.arange(n_cond) + 0.5) * T / n_cond).astype(jnp.int32), 0, T - 1)
+        return verts[:, idx, :]
+
+    def encode_conditioning(
+        self,
+        audio: jnp.ndarray,  # [B, S, 2] raw 48 kHz stereo
+        keyframes: Optional[jnp.ndarray] = None,  # [B, Tk, key_dim] (pose)
+        keyframe_valid: Optional[jnp.ndarray] = None,  # [B, Tk] 1=valid
+        deterministic: bool = True,
+    ) -> CondTokens:
+        c = self.cfg
+        feats = self.encode_audio(audio)
+        if c.data_format == "face":
+            lip = self.encode_lip(audio, feats.shape[1])
+            feats = jnp.concatenate([feats, lip], axis=-1)
+        cond_tokens = self.cond_projection(feats)
+        if c.data_format == "face":
+            for layer in self.cond_encoder:
+                cond_tokens = layer(cond_tokens, rotary=self.rotary, deterministic=deterministic)
+
+        pose_tokens = None
+        if c.data_format == "pose" and keyframes is not None:
+            kf = keyframes
+            if keyframe_valid is not None:
+                kf = kf * keyframe_valid[..., None]  # zero the unknown (diffusion.py:319-320)
+            pose_hidden = self.frame_cond_projection(jax.lax.stop_gradient(kf))
+            pose_tokens = self.frame_norm_cond(pose_hidden)
+        return CondTokens(cond_tokens, pose_tokens)
+
+    # ------------------------------------------------------------------ #
+    # per-step denoiser (scan body)
+    # ------------------------------------------------------------------ #
+
+    def denoise(
+        self,
+        x: jnp.ndarray,  # [B, T, nfeats] noisy motion
+        t: jnp.ndarray,  # [B] int32 original-schedule timesteps
+        cond: CondTokens,
+        keep_mask: jnp.ndarray,  # [B] bool — False → null conditioning (CFG)
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        c = self.cfg
+        D = c.latent_dim
+        B = x.shape[0]
+
+        h = self.input_projection(x)
+
+        keep_e = keep_mask[:, None, None]
+        cond_tokens = jnp.where(
+            keep_e, cond.cond_tokens, self.null_cond_embed[:, : cond.cond_tokens.shape[1], :]
+        )
+        pooled = cond_tokens.mean(axis=-2)
+        cond_hidden = self.non_attn_norm(pooled)
+        cond_hidden = self.non_attn_d2(nn.silu(self.non_attn_d1(cond_hidden)))
+        cond_hidden = jnp.where(keep_mask[:, None], cond_hidden, self.null_cond_hidden)
+
+        # time conditioning (diffusion.py:383-393)
+        t_hidden = mish(self.time_dense(sinusoidal_pos_emb(t, D)))
+        t_vec = self.to_time_cond(t_hidden) + cond_hidden
+        t_tokens = self.to_time_tokens(t_hidden).reshape(B, 2, D)
+
+        memory = self.norm_cond(jnp.concatenate([cond_tokens, t_tokens], axis=-2))
+
+        pose_tokens = None
+        if c.data_format == "pose":
+            assert cond.pose_tokens is not None
+            pose_tokens = jnp.where(
+                keep_e,
+                cond.pose_tokens,
+                self.null_pose_embed[:, : cond.pose_tokens.shape[1], :],
+            )
+
+        for layer in self.layers:
+            h = layer(
+                h,
+                memory,
+                t_vec,
+                memory2=pose_tokens,
+                rotary=self.rotary if c.use_rotary else None,
+                deterministic=deterministic,
+            )
+        out = self.final_layer(h)
+
+        if c.data_format == "pose":
+            out = self._postnet(out, deterministic)
+        return out
+
+    def _postnet(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        """Causal dilated conv stack with averaged skip connections
+        (reference: diffusion.py:214-224)."""
+        rf = self.cfg.postnet_receptive_field
+        out = jnp.pad(x, ((0, 0), (rf - 1, 0), (0, 0)))
+        for i, ((cin, cout, k, d), kern, b) in enumerate(
+            zip(self.post_conv_specs, self.post_kernels, self.post_biases)
+        ):
+            y = conv1d(out, kern, b, dilation=d, padding=(0, 0))
+            y = nn.leaky_relu(y, negative_slope=0.2)
+            if not deterministic:
+                keep = jax.random.bernoulli(self.make_rng("dropout"), 0.8, y.shape)
+                y = y * keep / 0.8
+            if out.shape[-1] == y.shape[-1]:
+                out = (out[:, -y.shape[1]:, :] + y) / 2.0
+            else:
+                out = y
+        out = valid_conv1d(out, self.final_conv_kernel, self.final_conv_bias)
+        return out
+
+    # ------------------------------------------------------------------ #
+    # training forward = encode + Bernoulli CFG dropout + denoise
+    # ------------------------------------------------------------------ #
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        audio: jnp.ndarray,
+        keyframes: Optional[jnp.ndarray] = None,
+        keyframe_valid: Optional[jnp.ndarray] = None,
+        cond_drop_prob: float = 0.0,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cond = self.encode_conditioning(audio, keyframes, keyframe_valid, deterministic)
+        B = x.shape[0]
+        if cond_drop_prob > 0.0:
+            keep = ~jax.random.bernoulli(self.make_rng("cond_drop"), cond_drop_prob, (B,))
+        else:
+            keep = jnp.ones((B,), bool)
+        return self.denoise(x, t, cond, keep, deterministic)

@@ -1,0 +1,174 @@
+"""Weight-normalized conv/linear layers, NHWC.
+
+JAX equivalents of the reference's layer family
+(visualize/ca_body/nn/layers.py): ``LinearWN`` (:422), ``Conv2dWN`` /
+``Conv2dWNUB`` (weight-norm + UNTIED per-pixel bias, :126-290,422-435) and
+``ConvTranspose2dWNUB`` (:292-420).  Parameters are kept as (v, g) pairs so
+torch checkpoints (weight_v/weight_g) convert 1:1; weight norm is computed at
+call time exactly like torch's.
+
+Layout: activations NHWC (TPU native), kernels [Kh, Kw, Cin, Cout]; untied
+biases [H, W, Cout].  ConvTranspose matches torch semantics
+(out = (H−1)·s − 2p + k) via input dilation with a flipped kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _wn_kernel(v: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """w = g · v/‖v‖ with the norm over all dims but Cout (g_dim=0 in torch)."""
+    norm = jnp.sqrt((v**2).sum(axis=(0, 1, 2), keepdims=True) + 1e-12)
+    return v * (g.reshape(1, 1, 1, -1) / norm)
+
+
+class LinearWN(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_f = x.shape[-1]
+        v = self.param("v", nn.initializers.lecun_normal(), (in_f, self.features))
+        g = self.param("g", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        norm = jnp.sqrt((v**2).sum(axis=0, keepdims=True) + 1e-12)
+        w = v * (g[None] / norm)
+        return x @ w + b
+
+
+class Conv2dWN(nn.Module):
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        k = self.kernel_size
+        v = self.param(
+            "v", nn.initializers.lecun_normal(), (k, k, cin // self.groups, self.features)
+        )
+        g = self.param("g", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        w = _wn_kernel(v, g)
+        out = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+        )
+        return out + b
+
+
+class Conv2dWNUB(nn.Module):
+    """Weight-norm conv with an untied (per-pixel) bias map — the reference's
+    workhorse layer (layers.py:243-290,422-427)."""
+
+    features: int
+    height: int
+    width: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        k = self.kernel_size
+        v = self.param(
+            "v", nn.initializers.lecun_normal(), (k, k, cin // self.groups, self.features)
+        )
+        g = self.param("g", nn.initializers.ones, (self.features,))
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.height, self.width, self.features)
+        )
+        w = _wn_kernel(v, g)
+        out = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+        )
+        return out + bias[None]
+
+
+def _conv_transpose(x, w, stride: int, padding: int):
+    """torch ConvTranspose2d equivalent: input dilation + flipped kernel.
+    w: [Kh, Kw, Cout, Cin] (note transposed channel order)."""
+    k = w.shape[0]
+    w_flip = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)  # → [Kh, Kw, Cin, Cout]
+    pad = k - 1 - padding
+    return jax.lax.conv_general_dilated(
+        x, w_flip,
+        window_strides=(1, 1),
+        padding=[(pad, pad)] * 2,
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+class ConvTranspose2dWNUB(nn.Module):
+    features: int
+    height: int
+    width: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        k = self.kernel_size
+        # stored [Kh, Kw, Cout, Cin] to mirror torch's [Cin, Cout, Kh, Kw]
+        v = self.param("v", nn.initializers.lecun_normal(), (k, k, self.features, cin))
+        g = self.param("g", nn.initializers.ones, (self.features,))
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.height, self.width, self.features)
+        )
+        norm = jnp.sqrt((v**2).sum(axis=(0, 1, 3), keepdims=True) + 1e-12)
+        w = v * (g.reshape(1, 1, -1, 1) / norm)
+        out = _conv_transpose(x, w, self.stride, self.padding)
+        return out + bias[None]
+
+
+def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int], align_corners: bool = False) -> jnp.ndarray:
+    """F.interpolate(mode='bilinear') equivalent, NHWC."""
+    B, H, W, C = x.shape
+    Ho, Wo = size
+    if align_corners and Ho > 1 and Wo > 1:
+        ys = jnp.linspace(0.0, H - 1.0, Ho)
+        xs = jnp.linspace(0.0, W - 1.0, Wo)
+        y0 = jnp.floor(ys).astype(jnp.int32)
+        x0 = jnp.floor(xs).astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, H - 1)
+        x1 = jnp.minimum(x0 + 1, W - 1)
+        wy = (ys - y0)[None, :, None, None]
+        wx = (xs - x0)[None, None, :, None]
+        top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+        bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+        return top * (1 - wy) + bot * wy
+    return jax.image.resize(x, (B, Ho, Wo, C), method="bilinear")
+
+
+def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Depth-to-space, NHWC, matching torch.nn.PixelShuffle channel order."""
+    B, H, W, C = x.shape
+    co = C // (r * r)
+    x = x.reshape(B, H, W, co, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(B, H * r, W * r, co)
+
+
+def tile2d(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """[B, F] → [B, size, size, F] (blocks.py:699-712, NHWC)."""
+    return jnp.broadcast_to(x[:, None, None, :], (x.shape[0], size, size, x.shape[1]))

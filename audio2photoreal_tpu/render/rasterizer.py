@@ -1,0 +1,148 @@
+"""Screen-space triangle rasterization, XLA-native.
+
+Replaces pytorch3d's CUDA ``MeshRasterizer`` + ``TexturesUV`` sampling
+(reference: visualize/ca_body/utils/render.py:28-63) with a z-buffered
+rasterizer built from XLA ops: faces are processed in fixed-size chunks under
+``lax.scan`` with per-pixel argmin-depth reduction — static shapes, no
+scatter conflicts, fully fusable.  A Pallas tile-binning kernel is the
+planned fast path (SURVEY §7 hard-part #1); this implementation defines the
+semantics and serves as its reference.
+
+Conventions follow the reference: OpenCV camera (x right, y down, z forward),
+pixel centers at integer coordinates, faces back-face-culled OFF (the
+reference rasterizes two-sided), nearest-depth wins.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from audio2photoreal_tpu.ops.gridsample import grid_sample_bilinear
+
+
+class RasterOut(NamedTuple):
+    face_index: jnp.ndarray  # [B, H, W] int32, -1 = background
+    barys: jnp.ndarray  # [B, H, W, 3]
+    depth: jnp.ndarray  # [B, H, W] (+inf at background)
+
+
+def rasterize(
+    pix_verts: jnp.ndarray,  # [B, V, 2] pixel coords
+    depth: jnp.ndarray,  # [B, V] camera-space z
+    faces: jnp.ndarray,  # [F, 3]
+    height: int,
+    width: int,
+    chunk: int = 256,
+) -> RasterOut:
+    B, V, _ = pix_verts.shape
+    F = faces.shape[0]
+    pad = (-F) % chunk
+    faces_p = jnp.pad(faces, ((0, pad), (0, 0)))
+    valid_face = jnp.pad(jnp.ones((F,), bool), (0, pad))
+    n_chunks = faces_p.shape[0] // chunk
+    faces_c = faces_p.reshape(n_chunks, chunk, 3)
+    valid_c = valid_face.reshape(n_chunks, chunk)
+
+    ys = jnp.arange(height, dtype=jnp.float32)
+    xs = jnp.arange(width, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")  # [H, W]
+
+    def chunk_body(carry, inputs):
+        best_z, best_face, best_bary = carry
+        fchunk, vmask, base = inputs
+        # gather triangle vertices: [B, C, 3(vert), 2]
+        tri = pix_verts[:, fchunk]  # [B, C, 3, 2]
+        tz = depth[:, fchunk]  # [B, C, 3]
+        xa, ya = tri[..., 0, 0], tri[..., 0, 1]
+        xb, yb = tri[..., 1, 0], tri[..., 1, 1]
+        xc, yc = tri[..., 2, 0], tri[..., 2, 1]
+        det = (yb - yc) * (xa - xc) + (xc - xb) * (ya - yc)  # [B, C]
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+
+        # barycentrics for every pixel vs every face in the chunk:
+        # w0 = ((yb−yc)(x−xc) + (xc−xb)(y−yc)) / det
+        dx = gx[None, None] - xc[..., None, None]  # [B, C, H, W]
+        dy = gy[None, None] - yc[..., None, None]
+        w0 = ((yb - yc)[..., None, None] * dx + (xc - xb)[..., None, None] * dy) * inv_det[..., None, None]
+        w1 = ((yc - ya)[..., None, None] * dx + (xa - xc)[..., None, None] * dy) * inv_det[..., None, None]
+        w2 = 1.0 - w0 - w1
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (jnp.abs(det) > 1e-12)[..., None, None]
+        # perspective-ignored bary depth interpolation (matches pytorch3d's
+        # default perspective_correct=False in the reference's RenderLayer)
+        z = (
+            w0 * tz[..., 0, None, None]
+            + w1 * tz[..., 1, None, None]
+            + w2 * tz[..., 2, None, None]
+        )
+        front = inside & (z > 1e-6) & vmask[None, :, None, None]
+        z = jnp.where(front, z, jnp.inf)
+        # nearest face within the chunk
+        zmin = z.min(axis=1)  # [B, H, W]
+        amin = z.argmin(axis=1)  # [B, H, W]
+        bary = jnp.stack([w0, w1, w2], axis=-1)  # [B, C, H, W, 3]
+        bsel = jnp.take_along_axis(bary, amin[:, None, ..., None], axis=1)[:, 0]
+        take = zmin < best_z
+        best_face = jnp.where(take, base + amin.astype(jnp.int32), best_face)
+        best_bary = jnp.where(take[..., None], bsel, best_bary)
+        best_z = jnp.minimum(best_z, zmin)
+        return (best_z, best_face, best_bary), None
+
+    init = (
+        jnp.full((B, height, width), jnp.inf),
+        jnp.full((B, height, width), -1, jnp.int32),
+        jnp.zeros((B, height, width, 3)),
+    )
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (best_z, best_face, best_bary), _ = jax.lax.scan(
+        chunk_body, init, (faces_c, valid_c, bases)
+    )
+    return RasterOut(face_index=best_face, barys=best_bary, depth=best_z)
+
+
+def interpolate_uv(
+    raster: RasterOut,
+    uv_coords: jnp.ndarray,  # [Vt, 2]
+    uv_faces: jnp.ndarray,  # [F, 3]
+    flip_uv: bool = True,
+) -> jnp.ndarray:
+    """Per-pixel UV coordinates from the rasterization (TexturesUV sampling
+    prep, render.py:50-57)."""
+    safe_face = jnp.maximum(raster.face_index, 0)
+    tuv = uv_coords[uv_faces[safe_face]]  # [B, H, W, 3, 2]
+    uv = (tuv * raster.barys[..., None]).sum(axis=-2)
+    if flip_uv:
+        uv = jnp.stack([uv[..., 0], 1.0 - uv[..., 1]], axis=-1)
+    return uv
+
+
+def render_texture(
+    raster: RasterOut,
+    uv_pix: jnp.ndarray,  # [B, H, W, 2] uv in [0, 1], v already flipped
+    texture: jnp.ndarray,  # [B, Ht, Wt, C]
+) -> jnp.ndarray:
+    """Bilinear texture lookup masked by coverage → [B, H, W, C]."""
+    grid = uv_pix * 2.0 - 1.0
+    img = grid_sample_bilinear(texture, grid, align_corners=False)
+    mask = (raster.face_index >= 0)[..., None]
+    return jnp.where(mask, img, 0.0)
+
+
+def render_mesh(
+    pix_verts: jnp.ndarray,
+    depth: jnp.ndarray,
+    faces: jnp.ndarray,
+    uv_coords: jnp.ndarray,
+    uv_faces: jnp.ndarray,
+    texture: jnp.ndarray,
+    height: int,
+    width: int,
+) -> Tuple[jnp.ndarray, RasterOut]:
+    """Full RenderLayer equivalent (render.py:28-63): returns the RGB render
+    masked by pix-to-face and the raw rasterization."""
+    raster = rasterize(pix_verts, depth, faces, height, width)
+    uv_pix = interpolate_uv(raster, uv_coords, uv_faces)
+    img = render_texture(raster, uv_pix, texture)
+    return img, raster

@@ -1,0 +1,233 @@
+"""Jitted train steps + host-side loops for the three model families.
+
+Reference equivalents: TrainLoop (train/training_loop.py:133-288, diffusion),
+ModelTrainer VQ (train/train_vq.py:54-271), ModelTrainer guide
+(train/train_guide.py:27-293).  Each train step here is a pure function
+``(state, batch, rng) -> (state, metrics)`` jitted once; data parallelism is
+just a sharded batch (parallel/sharding.py) — XLA inserts the gradient psum.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from audio2photoreal_tpu.core.config import DiffusionConfig
+from audio2photoreal_tpu.diffusion import gaussian, losses, tsample
+from audio2photoreal_tpu.diffusion.schedules import Schedule
+from audio2photoreal_tpu.models.vqvae import VQState
+from audio2photoreal_tpu.train.state import TrainState, update_ema
+
+
+# --------------------------------------------------------------------- #
+# diffusion denoiser
+# --------------------------------------------------------------------- #
+
+
+def make_diffusion_train_step(
+    model,
+    schedule: Schedule,
+    dcfg: DiffusionConfig,
+    ema_decay: float = 0.0,
+):
+    """One denoiser training step (reference: training_loop.py:174-215 +
+    gaussian_diffusion.py:1195-1271)."""
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        k_t, k_noise, k_drop, k_dropout = jax.random.split(rng, 4)
+        x0 = batch["motion"]
+        B = x0.shape[0]
+        t, weights = tsample.uniform_sample(k_t, schedule.num_timesteps, B)
+        noise = jax.random.normal(k_noise, x0.shape)
+        xt = gaussian.q_sample(schedule, x0, t, noise)
+        mask = batch["mask"][..., None]
+
+        def loss_fn(params):
+            out = model.apply(
+                params,
+                xt,
+                t,
+                batch["audio"],
+                batch.get("keyframes"),
+                batch.get("keyframe_valid"),
+                cond_drop_prob=dcfg.cond_drop_prob,
+                deterministic=False,
+                rngs={"cond_drop": k_drop, "dropout": k_dropout},
+            )
+            terms = losses.training_losses(
+                schedule,
+                dcfg.predict,
+                out,
+                x0,
+                xt,
+                t,
+                mask,
+                lambda_vel=dcfg.lambda_vel,
+                var_type=dcfg.var_type,
+                with_vb=True,
+            )
+            loss = (terms["loss"] * weights).mean()
+            return loss, terms
+
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        if ema_decay > 0:
+            state = update_ema(state, ema_decay)
+        metrics = {
+            "loss": loss,
+            "mse": terms["mse"].mean(),
+            "vb": terms["vb"].mean(),
+            "grad_norm": optax.global_norm(grads),
+        }
+        # loss-quartile logging by timestep bucket (training_loop.py:282-288)
+        quartile = (4 * t) // schedule.num_timesteps
+        for q in range(4):
+            sel = quartile == q
+            metrics[f"loss_q{q}"] = jnp.where(
+                sel.any(), (terms["loss"] * sel).sum() / jnp.maximum(sel.sum(), 1), jnp.nan
+            )
+        return state, metrics
+
+    return step
+
+
+# --------------------------------------------------------------------- #
+# VQ-VAE
+# --------------------------------------------------------------------- #
+
+
+def huber(a, b, delta: float = 1.0):
+    """SmoothL1 (train_vq.py loss, torch.nn.SmoothL1Loss equivalent)."""
+    d = jnp.abs(a - b)
+    return jnp.where(d < delta, 0.5 * d**2 / delta, d - 0.5 * delta).mean()
+
+
+def make_vq_train_step(model, commit_weight: float = 0.02, lambda_vel: float = 1.0):
+    """One codec step (reference: train_vq.py:127-155): SmoothL1 recon +
+    commit·vq + velocity on 1 fps keyframes.  The VQ codebook state rides in
+    the step signature, not the optimizer."""
+
+    def step(
+        state: TrainState, vq: VQState, batch: Dict[str, jnp.ndarray], rng: jax.Array
+    ):
+        motion = batch["keyframes"]  # [B, K, nfeats] — 1 fps downsampled
+
+        def loss_fn(params):
+            recon, commit, ppl, codes, vq_new = model.apply(
+                params, motion, vq, train=True, key=rng
+            )
+            recon_loss = huber(recon, motion)
+            vel_loss = huber(recon[:, 1:] - recon[:, :-1], motion[:, 1:] - motion[:, :-1])
+            loss = recon_loss + commit_weight * commit + lambda_vel * vel_loss
+            return loss, (recon_loss, commit, ppl, vq_new)
+
+        (loss, (recon_loss, commit, ppl, vq_new)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads)
+        metrics = {
+            "loss": loss,
+            "recon": recon_loss,
+            "commit": commit,
+            "perplexity": ppl,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return state, vq_new, metrics
+
+    return step
+
+
+# --------------------------------------------------------------------- #
+# guide transformer
+# --------------------------------------------------------------------- #
+
+
+def make_guide_train_step(
+    model,
+    tokenize: Callable[[jnp.ndarray], jnp.ndarray],
+    vq_depth: int,
+    label_smoothing: float = 0.1,
+    cond_drop_prob: float = 0.2,
+):
+    """One guide-LM step (reference: train_guide.py:71-107): tokenize GT
+    keyframes with the frozen VQ, shift-right with the start token, CE with
+    label smoothing.  ``tokenize`` is a closed-over frozen-codec apply."""
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        k_drop, k_dropout = jax.random.split(rng)
+        keyframes = batch["keyframes"]
+        B = keyframes.shape[0]
+        targets = tokenize(keyframes)  # [B, K, depth] int32
+        targets = targets.reshape(B, -1)  # flatten time-major (train_guide.py:84-88)
+        start = jnp.full((B, 1), model.start_token, jnp.int32)
+        inputs = jnp.concatenate([start, targets[:, :-1]], axis=1)
+        valid = jnp.repeat(batch["keyframe_valid"], vq_depth, axis=-1)  # [B, K·depth]
+
+        def loss_fn(params):
+            logits = model.apply(
+                params,
+                inputs,
+                batch["audio"],
+                cond_drop_prob=cond_drop_prob,
+                deterministic=False,
+                rngs={"cond_drop": k_drop, "dropout": k_dropout},
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+            # label smoothing (train_guide.py:50-52): (1−ε)·CE + ε·uniform-CE
+            ce = (1.0 - label_smoothing) * nll - label_smoothing * logp.mean(axis=-1)
+            loss = (ce * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+            acc = ((logits.argmax(-1) == targets) * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+            return loss, acc
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        return state, {"loss": loss, "acc": acc, "grad_norm": optax.global_norm(grads)}
+
+    return step
+
+
+# --------------------------------------------------------------------- #
+# host-side loop
+# --------------------------------------------------------------------- #
+
+
+def run_loop(
+    step_fn,
+    state,
+    batches: Iterable[Dict[str, np.ndarray]],
+    rng: jax.Array,
+    num_steps: int,
+    *,
+    log_every: int = 50,
+    logger=None,
+    save_every: int = 0,
+    save_fn: Optional[Callable[[Any, int], None]] = None,
+    extra_state=None,
+):
+    """Generic epoch-free loop (reference: training_loop.py:133-172).
+
+    ``extra_state`` threads e.g. the VQState through steps that return 3-tuples.
+    """
+    t0 = time.time()
+    it = iter(batches)
+    for i in range(num_steps):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        rng, sub = jax.random.split(rng)
+        if extra_state is not None:
+            state, extra_state, metrics = step_fn(state, extra_state, batch, sub)
+        else:
+            state, metrics = step_fn(state, batch, sub)
+        if logger is not None and (i % log_every == 0 or i == num_steps - 1):
+            m = {k: float(v) for k, v in metrics.items()}
+            m["steps_per_sec"] = (i + 1) / (time.time() - t0)
+            logger.log(int(state.step), m)
+        if save_every and save_fn is not None and (i + 1) % save_every == 0:
+            save_fn(state, int(state.step))
+    return (state, extra_state) if extra_state is not None else state

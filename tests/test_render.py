@@ -1,0 +1,285 @@
+"""Renderer math tests: quaternions, LBS FK, UV geometry, rasterizer, color."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio2photoreal_tpu.render import quaternion as quat
+from audio2photoreal_tpu.render.color import linear2display_batch, linear2srgb
+from audio2photoreal_tpu.render.geometry import (
+    GeometryModule,
+    compute_view_cos,
+    face_normals,
+    project_points,
+    rasterize_uv_maps,
+    vert_normals,
+)
+from audio2photoreal_tpu.render.lbs import (
+    LBSModule,
+    Skeleton,
+    skinning,
+    solve_skeleton_state,
+    states_to_matrix,
+    unskinning,
+)
+from audio2photoreal_tpu.render.rasterizer import rasterize, render_mesh
+from audio2photoreal_tpu.render.seams import SeamSampler
+
+
+# ---------------- quaternion ----------------
+
+
+def test_quat_mul_identity_and_inverse():
+    rng = np.random.RandomState(0)
+    q = quat.normalize(jnp.asarray(rng.randn(5, 4), jnp.float32))
+    ident = jnp.array([0.0, 0, 0, 1.0])
+    np.testing.assert_allclose(np.asarray(quat.mul(q, jnp.broadcast_to(ident, q.shape))), np.asarray(q), atol=1e-6)
+    qq = quat.mul(q, quat.invert(q))
+    np.testing.assert_allclose(np.asarray(qq[..., 3]), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qq[..., :3]), 0.0, atol=1e-5)
+
+
+def test_quat_rotate_matches_matrix():
+    rng = np.random.RandomState(1)
+    q = quat.normalize(jnp.asarray(rng.randn(4, 4), jnp.float32))
+    v = jnp.asarray(rng.randn(4, 3), jnp.float32)
+    r1 = quat.rotate(q, v)
+    m = quat.to_matrix(q)
+    r2 = jnp.einsum("bij,bj->bi", m, v)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+
+
+def test_quat_from_xyz_single_axis():
+    # 90° about z: x-axis → y-axis
+    e = jnp.array([[0.0, 0.0, np.pi / 2]])
+    q = quat.from_xyz(e)
+    v = jnp.array([[1.0, 0.0, 0.0]])
+    r = quat.rotate(q, v)
+    np.testing.assert_allclose(np.asarray(r), [[0.0, 1.0, 0.0]], atol=1e-6)
+
+
+# ---------------- LBS ----------------
+
+
+def _toy_skeleton():
+    # 3-joint chain along x
+    parents = [-1, 0, 1]
+    offsets = np.array([[0, 0, 0], [1, 0, 0], [1, 0, 0]], np.float32)
+    rots = np.tile(np.array([0, 0, 0, 1], np.float32), (3, 1))
+    return Skeleton.create(parents, offsets, rots)
+
+
+def test_fk_zero_pose_chain_positions():
+    skel = _toy_skeleton()
+    params = jnp.zeros((1, 21))
+    state = solve_skeleton_state(skel, params)
+    # joints at x = 0, 1, 2
+    np.testing.assert_allclose(np.asarray(state[0, :, 0]), [0, 1, 2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state[0, :, 7]), 1.0, atol=1e-6)
+
+
+def test_fk_rotation_propagates():
+    skel = _toy_skeleton()
+    params = np.zeros((1, 21), np.float32)
+    params[0, 5] = np.pi / 2  # root rz: chain rotates into +y
+    state = solve_skeleton_state(skel, jnp.asarray(params))
+    np.testing.assert_allclose(np.asarray(state[0, 1, 0:3]), [0, 1, 0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state[0, 2, 0:3]), [0, 2, 0], atol=1e-5)
+
+
+def test_fk_matches_sequential_reference():
+    """Level-parallel FK == naive per-joint recursion on a random tree."""
+    rng = np.random.RandomState(2)
+    J = 7
+    parents = [-1, 0, 0, 1, 2, 3, 3]
+    offsets = rng.randn(J, 3).astype(np.float32)
+    pre = quat.normalize(jnp.asarray(rng.randn(J, 4), jnp.float32))
+    skel = Skeleton.create(parents, offsets, np.asarray(pre))
+    params = jnp.asarray(rng.randn(2, 7 * J).astype(np.float32) * 0.3)
+    state = solve_skeleton_state(skel, params)
+
+    # naive reference
+    jp = np.asarray(params).reshape(2, J, 7)
+    lt = jp[:, :, 0:3] + offsets[None]
+    lr = np.asarray(quat.mul(jnp.asarray(pre)[None], quat.from_xyz(jnp.asarray(jp[:, :, 3:6]))))
+    ls = 2.0 ** jp[:, :, 6:7]
+    gt = np.zeros((2, J, 3))
+    gr = np.zeros((2, J, 4))
+    gs = np.zeros((2, J, 1))
+    for j in range(J):
+        p = parents[j]
+        if p < 0:
+            gt[:, j], gr[:, j], gs[:, j] = lt[:, j], lr[:, j], ls[:, j]
+        else:
+            gr[:, j] = np.asarray(quat.mul(jnp.asarray(gr[:, p]), jnp.asarray(lr[:, j])))
+            gt[:, j] = np.asarray(
+                quat.rotate(jnp.asarray(gr[:, p]), jnp.asarray(lt[:, j] * gs[:, p]))
+            ) + gt[:, p]
+            gs[:, j] = gs[:, p] * ls[:, j]
+    np.testing.assert_allclose(np.asarray(state[..., 0:3]), gt, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(state[..., 3:7]), gr, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(state[..., 7:8]), gs, atol=1e-4)
+
+
+def _toy_lbs():
+    skel = _toy_skeleton()
+    transform = np.zeros((21, 6), np.float32)
+    # map 6 pose params onto root translation + joint-1 rz
+    transform[0, 0] = 1.0  # root tx
+    transform[1, 1] = 1.0
+    transform[2, 2] = 1.0
+    transform[12, 3] = 1.0  # joint1 rz
+    offsets = np.zeros(21, np.float32)
+    V = 4
+    verts = np.array([[0.5, 0, 0], [1.5, 0, 0], [2.0, 0.5, 0], [0.0, -0.5, 0]], np.float32)
+    skin_idx = np.array([[0, 0], [1, 0], [2, 1], [0, 0]], np.int64)
+    skin_w = np.array([[1.0, 0], [1.0, 0], [0.7, 0.3], [1.0, 0]], np.float32)
+    return LBSModule.create(skel, transform, offsets, skin_idx, skin_w, verts)
+
+
+def test_lbs_pose_unpose_roundtrip():
+    lbs = _toy_lbs()
+    pose = jnp.asarray(np.random.RandomState(3).randn(2, 6).astype(np.float32) * 0.3)
+    posed = lbs.template_pose(pose)
+    unposed = lbs.unpose(posed, pose)
+    template = np.broadcast_to(np.asarray(lbs.template_verts), posed.shape)
+    np.testing.assert_allclose(np.asarray(unposed), template, atol=1e-4)
+
+
+def test_lbs_translation_moves_rigid_verts():
+    lbs = _toy_lbs()
+    pose = jnp.zeros((1, 6)).at[0, 0].set(2.0)  # root tx += 2
+    posed = lbs.template_pose(pose)
+    np.testing.assert_allclose(
+        np.asarray(posed[0, 0]), np.asarray(lbs.template_verts[0, 0]) + np.array([2, 0, 0]), atol=1e-5
+    )
+
+
+# ---------------- UV geometry ----------------
+
+
+def _quad_geometry(uv_size=16):
+    # two triangles covering the unit UV square
+    verts_faces = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    uv_coords = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    uv_faces = verts_faces.copy()
+    return GeometryModule.create(verts_faces, uv_coords, uv_faces, uv_size, impaint=True)
+
+
+def test_uv_rasterization_covers_square():
+    fi, ba = rasterize_uv_maps(
+        np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32),
+        np.array([[0, 1, 2], [0, 2, 3]]),
+        8,
+    )
+    assert (fi >= 0).mean() > 0.9  # near-full coverage
+    s = ba.sum(-1)
+    np.testing.assert_allclose(s[fi >= 0], 1.0, atol=1e-5)
+
+
+def test_to_uv_interpolates_linearly():
+    geom = _quad_geometry()
+    # vertex values = their uv x coordinate → UV image should be a ramp
+    vals = jnp.array([[[0.0], [1.0], [1.0], [0.0]]])
+    img = geom.to_uv(vals)  # [1, H, W, 1]
+    W = img.shape[2]
+    xs = (np.arange(W) + 0.5) / W
+    row = np.asarray(img[0, W // 2, :, 0])
+    np.testing.assert_allclose(row, xs, atol=0.1)
+
+
+def test_from_uv_inverts_to_uv_for_smooth_fields():
+    geom = _quad_geometry(uv_size=32)
+    vals = jnp.asarray(np.random.RandomState(4).rand(1, 4, 2), jnp.float32)
+    img = geom.to_uv(vals)
+    back = geom.from_uv(img)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(vals), atol=0.15)
+
+
+def test_normals_flat_quad():
+    verts = jnp.array([[[0.0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]]])
+    faces = jnp.array([[0, 1, 2], [0, 2, 3]])
+    fn = face_normals(verts, faces)
+    np.testing.assert_allclose(np.asarray(fn[0, :, 2]), 1.0, atol=1e-6)
+    vn = vert_normals(verts, faces)
+    np.testing.assert_allclose(np.asarray(vn[0, :, 2]), 1.0, atol=1e-6)
+    campos = jnp.array([[0.5, 0.5, 5.0]])
+    cos = compute_view_cos(verts, faces, campos)
+    assert np.all(np.asarray(cos) > 0.9)
+
+
+# ---------------- rasterizer ----------------
+
+
+def test_project_points_pinhole():
+    verts = jnp.array([[[0.0, 0.0, 2.0]]])
+    K = jnp.array([[[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]]])
+    Rt = jnp.concatenate([jnp.eye(3)[None], jnp.zeros((1, 3, 1))], axis=-1)
+    pix, z = project_points(verts, K, Rt)
+    np.testing.assert_allclose(np.asarray(pix[0, 0]), [32, 32], atol=1e-5)
+    assert float(z[0, 0]) == pytest.approx(2.0)
+
+
+def test_rasterize_single_triangle_coverage_and_depth():
+    pix = jnp.array([[[2.0, 2.0], [20.0, 2.0], [2.0, 20.0]]])
+    depth = jnp.array([[1.0, 1.0, 1.0]])
+    faces = jnp.array([[0, 1, 2]])
+    out = rasterize(pix, depth, faces, 24, 24)
+    assert int(out.face_index[0, 3, 3]) == 0  # inside
+    assert int(out.face_index[0, 23, 23]) == -1  # outside
+    assert float(out.depth[0, 3, 3]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_rasterize_zbuffer_nearest_wins():
+    # two stacked triangles, the second closer
+    pix = jnp.array(
+        [[[0.0, 0.0], [30.0, 0.0], [0.0, 30.0], [0.0, 0.0], [30.0, 0.0], [0.0, 30.0]]]
+    )
+    depth = jnp.array([[5.0, 5.0, 5.0, 2.0, 2.0, 2.0]])
+    faces = jnp.array([[0, 1, 2], [3, 4, 5]])
+    out = rasterize(pix, depth, faces, 16, 16)
+    assert int(out.face_index[0, 2, 2]) == 1
+    assert float(out.depth[0, 2, 2]) == pytest.approx(2.0, abs=1e-4)
+
+
+def test_render_mesh_textures_inside_only():
+    pix = jnp.array([[[0.0, 0.0], [15.0, 0.0], [0.0, 15.0]]])
+    depth = jnp.array([[1.0, 1.0, 1.0]])
+    faces = jnp.array([[0, 1, 2]])
+    uv_coords = jnp.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    tex = jnp.ones((1, 8, 8, 3)) * 0.5
+    img, raster = render_mesh(pix, depth, faces, uv_coords, faces, tex, 16, 16)
+    assert float(img[0, 1, 1, 0]) == pytest.approx(0.5, abs=1e-5)
+    assert float(img[0, 15, 15, 0]) == 0.0
+
+
+# ---------------- seams / color ----------------
+
+
+def test_seam_sampler_impaint_copies():
+    H = 4
+    tex = jnp.arange(H * H, dtype=jnp.float32).reshape(1, H, H, 1)
+    s = SeamSampler(
+        impaint_dst=jnp.array([0], jnp.int32),
+        impaint_src=jnp.array([5], jnp.int32),
+        resample_uvs=jnp.zeros((0, 2)),
+        resample_dst=jnp.zeros((0,), jnp.int32),
+        resample_weights=jnp.zeros((0,)),
+        uv_size=H,
+    )
+    out = s.impaint(tex)
+    assert float(out[0, 0, 0, 0]) == 5.0
+
+
+def test_linear2srgb_anchors():
+    assert float(linear2srgb(jnp.array(0.0))) == pytest.approx(0.0, abs=1e-6)
+    assert float(linear2srgb(jnp.array(1.0))) == pytest.approx(1.0, abs=1e-3)
+    # below the linear knee
+    assert float(linear2srgb(jnp.array(0.001))) == pytest.approx(0.01292, abs=1e-4)
+
+
+def test_linear2display_batch_range():
+    img = jnp.asarray(np.random.RandomState(5).rand(1, 4, 4, 3) * 255)
+    out = linear2display_batch(img)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 255.0
