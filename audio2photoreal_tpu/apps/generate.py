@@ -1,0 +1,205 @@
+"""Batch inference CLI — the flagship sampling path.
+
+Equivalent of ``python -m sample.generate`` (reference: sample/generate.py):
+re-hydrate configs from the checkpoint's sidecar, take test-split chunks,
+(pose) replace GT keyframes with guide-transformer generations, run DDIM with
+classifier-free guidance, inverse-normalize, save ``results.npy`` in the
+reference layout {motions, audio, gt, lengths, keyframes}
+(sample/generate.py:146-152,290-292 — motions as [B, C, 1, T]).
+
+TPU-native structure: conditioning is encoded once per batch, the DDIM loop
+is one compiled scan with batched CFG, and batches are padded to the chunk
+length so the jit compiles once.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio2photoreal_tpu.core.config import (
+    DataConfig,
+    DenoiserConfig,
+    DiffusionConfig,
+    GuideConfig,
+    VQConfig,
+    load_config,
+)
+from audio2photoreal_tpu.data.dataset import SocialDataset, load_local_data
+from audio2photoreal_tpu.data.stats import DataStats
+from audio2photoreal_tpu.diffusion import sampling
+from audio2photoreal_tpu.diffusion.respace import maybe_respaced
+from audio2photoreal_tpu.models.cfg import cfg_model_fn
+from audio2photoreal_tpu.models.film_transformer import FiLMDenoiser
+from audio2photoreal_tpu.models.guide import GuideTransformer
+from audio2photoreal_tpu.models.vqvae import TemporalVertexCodec, VQState
+from audio2photoreal_tpu.train import checkpoints
+
+
+def find_stats(person_dir: str) -> DataStats:
+    for name in ("data_stats.npz", "data_stats.pth"):
+        p = os.path.join(person_dir, name)
+        if os.path.exists(p):
+            return DataStats.load(p)
+    raise FileNotFoundError(f"no data stats under {person_dir}")
+
+
+class GuideKeyframer:
+    """Replaces GT keyframes with guide-LM generations decoded by the frozen
+    VQ codec (reference: sample/generate.py:51-71 _replace_keyframes)."""
+
+    def __init__(self, guide_ckpt: str, vq_ckpt: str):
+        gcfgs = load_config(guide_ckpt)
+        self.gcfg: GuideConfig = gcfgs["guide"]
+        vcfgs = load_config(vq_ckpt)
+        self.vcfg: VQConfig = vcfgs["vq"]
+        self.guide = GuideTransformer(self.gcfg)
+        self.codec = TemporalVertexCodec(self.vcfg)
+        g = checkpoints.restore(os.path.join(guide_ckpt, "ckpt"), None)
+        self.gparams = g["params"] if "params" in g else g["state"]["params"]
+        v = checkpoints.restore(os.path.join(vq_ckpt, "ckpt"), None)
+        self.vparams = v["params"] if "params" in v else v["state"]["params"]
+        self.vq_state = VQState(
+            embed=jnp.asarray(v["vq"]["embed"]),
+            embed_avg=jnp.asarray(v["vq"]["embed_avg"]),
+            cluster_size=jnp.asarray(v["vq"]["cluster_size"]),
+            inited=jnp.asarray(True),
+        )
+
+    def __call__(self, audio: jnp.ndarray, num_keyframes: int, key, top_p: float = 0.94):
+        tokens = self.guide.apply(
+            self.gparams, audio, num_keyframes * self.vcfg.depth, key, top_p=top_p,
+            method=GuideTransformer.generate,
+        )
+        codes = tokens.reshape(audio.shape[0], num_keyframes, self.vcfg.depth)
+        return self.codec.apply(
+            self.vparams, codes, self.vq_state, method=TemporalVertexCodec.decode
+        )
+
+
+def generate(
+    model_path: str,
+    data_root: str,
+    *,
+    num_samples: int = 5,
+    num_repetitions: int = 1,
+    guidance_param: float = 2.0,
+    timestep_respacing: str = "ddim500",
+    guide_path: Optional[str] = None,
+    vq_path: Optional[str] = None,
+    top_p: float = 0.94,
+    seed: int = 10,
+    output_dir: Optional[str] = None,
+    use_ema: bool = False,
+) -> str:
+    cfgs = load_config(model_path)
+    mcfg: DenoiserConfig = cfgs["denoiser"]
+    dcfg: DiffusionConfig = cfgs["diffusion"]
+    datacfg: DataConfig = cfgs["data"]
+
+    model = FiLMDenoiser(mcfg)
+    restored = checkpoints.restore(os.path.join(model_path, "ckpt"), None)
+    state = restored["state"] if "state" in restored else restored
+    params = state.get("ema_params") if use_ema else None
+    params = params or state["params"]
+
+    scenes = load_local_data(data_root, datacfg.person)
+    stats = find_stats(os.path.join(data_root, datacfg.person))
+    ds = SocialDataset(scenes, stats, datacfg, "test")
+
+    sched = maybe_respaced(dcfg.schedule, dcfg.steps, timestep_respacing)
+    keyframer = None
+    if mcfg.data_format == "pose" and guide_path and vq_path:
+        keyframer = GuideKeyframer(guide_path, vq_path)
+
+    rng = jax.random.PRNGKey(seed)
+    n = min(num_samples, len(ds))
+    batch = {k: np.stack([ds.get_chunk(i)[k] for i in range(n)]) for k in ds.get_chunk(0)}
+    audio = jnp.asarray(batch["audio"])
+    gt = jnp.asarray(batch["motion"])
+    B, T, C = gt.shape
+
+    def apply_denoise(p, x, t, cond, keep):
+        return model.apply(p, x, t, cond, keep, method=FiLMDenoiser.denoise)
+
+    all_motions, all_keyframes = [], []
+    for rep in range(num_repetitions):
+        rng, k_guide, k_noise, k_samp = jax.random.split(rng, 4)
+        kf = jnp.asarray(batch.get("keyframes", np.zeros((B, 0, 104), np.float32)))
+        kv = jnp.asarray(batch.get("keyframe_valid", np.zeros((B, 0), np.float32)))
+        if keyframer is not None:
+            kf = keyframer(audio, kf.shape[1], k_guide, top_p)
+            kv = jnp.ones_like(kv)
+        cond = model.apply(
+            params, audio, kf if mcfg.data_format == "pose" else None,
+            kv if mcfg.data_format == "pose" else None,
+            method=FiLMDenoiser.encode_conditioning,
+        )
+        model_fn = cfg_model_fn(apply_denoise, params, cond, guidance_param)
+        xT = jax.random.normal(k_noise, (B, T, C))
+        res = sampling.ddim_sample_loop(sched, dcfg.predict, model_fn, xT, k_samp)
+        sample = res.pred_xstart  # reference returns final pred_xstart (:862)
+        if mcfg.data_format == "pose":
+            motion = stats.inv_pose(np.asarray(sample))
+            all_keyframes.append(stats.inv_pose(np.asarray(kf)))
+        else:
+            motion = stats.inv_code(np.asarray(sample))
+        all_motions.append(motion)
+
+    motions = np.concatenate(all_motions, 0)
+    out_dir = output_dir or os.path.join(
+        model_path, f"samples_{timestep_respacing}_seed{seed}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    inv = stats.inv_pose if mcfg.data_format == "pose" else stats.inv_code
+    results = {
+        # reference layout: [B, C, 1, T] (sample/generate.py:146-152)
+        "motion": motions.transpose(0, 2, 1)[:, :, None, :],
+        "gt": inv(np.asarray(gt)).transpose(0, 2, 1)[:, :, None, :],
+        "audio": stats.inv_audio(np.asarray(audio)),
+        "lengths": np.asarray(batch["lengths"]),
+    }
+    if all_keyframes:
+        results["keyframes"] = np.concatenate(all_keyframes, 0)
+    out_path = os.path.join(out_dir, "results.npy")
+    np.save(out_path, results)
+    return out_path
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", required=True, help="checkpoint dir with config.json + ckpt/")
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--num_samples", type=int, default=5)
+    p.add_argument("--num_repetitions", type=int, default=1)
+    p.add_argument("--guidance_param", type=float, default=2.0)
+    p.add_argument("--timestep_respacing", default="ddim500")
+    p.add_argument("--resume_trans", default=None, help="guide checkpoint dir")
+    p.add_argument("--resume_vq", default=None, help="VQ checkpoint dir")
+    p.add_argument("--top_p", type=float, default=0.94)
+    p.add_argument("--seed", type=int, default=10)
+    p.add_argument("--output_dir", default=None)
+    args = p.parse_args()
+    out = generate(
+        args.model_path,
+        args.data_root,
+        num_samples=args.num_samples,
+        num_repetitions=args.num_repetitions,
+        guidance_param=args.guidance_param,
+        timestep_respacing=args.timestep_respacing,
+        guide_path=args.resume_trans,
+        vq_path=args.resume_vq,
+        top_p=args.top_p,
+        seed=args.seed,
+        output_dir=args.output_dir,
+    )
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Diffusion trainer CLI (face or pose).
+
+Equivalent of ``python -m train.train_diffusion`` (reference:
+train/train_diffusion.py + train/training_loop.py): config → data → model →
+jitted DP train step over the device mesh → checkpoints + config sidecar.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from audio2photoreal_tpu.core.config import (
+    DataConfig,
+    DenoiserConfig,
+    DiffusionConfig,
+    TrainConfig,
+    save_config,
+)
+from audio2photoreal_tpu.data.dataset import SocialDataset, load_local_data
+from audio2photoreal_tpu.diffusion.schedules import make_schedule
+from audio2photoreal_tpu.models.film_transformer import FiLMDenoiser
+from audio2photoreal_tpu.parallel import MeshSpec, create_mesh, shard_batch
+from audio2photoreal_tpu.parallel.sharding import replicated
+from audio2photoreal_tpu.train import checkpoints
+from audio2photoreal_tpu.train.logging import KVLogger
+from audio2photoreal_tpu.train.loops import make_diffusion_train_step
+from audio2photoreal_tpu.train.state import create_train_state
+from audio2photoreal_tpu.apps.generate import find_stats
+
+
+def train(
+    data_root: str,
+    save_dir: str,
+    mcfg: DenoiserConfig,
+    dcfg: DiffusionConfig,
+    datacfg: DataConfig,
+    tcfg: TrainConfig,
+):
+    os.makedirs(save_dir, exist_ok=True)
+    save_config(save_dir, denoiser=mcfg, diffusion=dcfg, data=datacfg, train=tcfg)
+    logger = KVLogger(save_dir, tensorboard=True)
+
+    scenes = load_local_data(data_root, datacfg.person)
+    stats = find_stats(os.path.join(data_root, datacfg.person))
+    ds = SocialDataset(scenes, stats, datacfg, "train")
+
+    import math
+
+    n_dev = len(jax.devices())
+    dp = math.gcd(datacfg.batch_size, n_dev)
+    if dp < n_dev:
+        print(f"batch {datacfg.batch_size} not divisible by {n_dev} devices; using dp={dp}")
+        mesh = create_mesh(MeshSpec((dp,), ("data",)), jax.devices()[:dp])
+    else:
+        mesh = create_mesh(MeshSpec(tcfg.mesh_shape, tcfg.mesh_axes))
+    model = FiLMDenoiser(mcfg)
+    sched = make_schedule(dcfg.schedule, dcfg.steps)
+
+    rng = jax.random.PRNGKey(tcfg.seed)
+    batch0 = ds.sample_batch(np.random.RandomState(0), datacfg.batch_size)
+    import jax.numpy as jnp
+
+    params = model.init(
+        {"params": rng, "cond_drop": jax.random.PRNGKey(1)},
+        jnp.asarray(batch0["motion"]),
+        jnp.zeros((datacfg.batch_size,), jnp.int32),
+        jnp.asarray(batch0["audio"]),
+        jnp.asarray(batch0.get("keyframes")) if "keyframes" in batch0 else None,
+        jnp.asarray(batch0.get("keyframe_valid")) if "keyframe_valid" in batch0 else None,
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"model params: {n_params/1e6:.2f}M")
+
+    state = create_train_state(params, tcfg)
+    state = jax.device_put(state, replicated(mesh))
+    step_fn = jax.jit(make_diffusion_train_step(model, sched, dcfg, tcfg.ema_decay))
+
+    ckpt_dir = os.path.join(save_dir, "ckpt")
+
+    def save_fn(state, step):
+        checkpoints.save(ckpt_dir, step, {"state": jax.device_get(
+            {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+        )})
+
+    # resume
+    last = checkpoints.latest_step(ckpt_dir)
+    if last is not None:
+        restored = checkpoints.restore(ckpt_dir, None, last)
+        state = state.replace(
+            params=restored["state"]["params"],
+            opt_state=restored["state"]["opt_state"],
+            step=jnp.asarray(restored["state"]["step"]),
+        )
+        print(f"resumed from step {last}")
+
+    rng_np = np.random.RandomState(tcfg.seed)
+    for i in range(int(state.step), tcfg.num_steps):
+        batch = shard_batch(mesh, ds.sample_batch(rng_np, datacfg.batch_size))
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        if i % tcfg.log_interval == 0:
+            logger.log(i, {k: float(v) for k, v in metrics.items() if np.isfinite(float(v))})
+        if (i + 1) % tcfg.save_interval == 0:
+            save_fn(state, i + 1)
+    save_fn(state, tcfg.num_steps)
+    return state
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--save_dir", required=True)
+    p.add_argument("--person", default="PXB184")
+    p.add_argument("--data_format", choices=["pose", "face"], default="pose")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--num_steps", type=int, default=800_000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--layers", type=int, default=8)
+    p.add_argument("--heads", type=int, default=4)
+    p.add_argument("--latent_dim", type=int, default=None)
+    p.add_argument("--lambda_vel", type=float, default=0.0)
+    p.add_argument("--max_seq_length", type=int, default=600)
+    p.add_argument("--save_interval", type=int, default=5000)
+    p.add_argument("--seed", type=int, default=10)
+    args = p.parse_args()
+
+    nfeats = 104 if args.data_format == "pose" else 256
+    latent = args.latent_dim or (256 if args.data_format == "pose" else 512)
+    mcfg = DenoiserConfig(
+        data_format=args.data_format,
+        nfeats=nfeats,
+        latent_dim=latent,
+        num_layers=args.layers,
+        num_heads=args.heads,
+        max_seq_length=args.max_seq_length,
+    )
+    dcfg = DiffusionConfig(lambda_vel=args.lambda_vel)
+    datacfg = DataConfig(
+        person=args.person,
+        data_format=args.data_format,
+        batch_size=args.batch_size,
+        max_seq_length=args.max_seq_length,
+    )
+    tcfg = TrainConfig(
+        save_dir=args.save_dir,
+        lr=args.lr,
+        num_steps=args.num_steps,
+        save_interval=args.save_interval,
+        seed=args.seed,
+    )
+    train(args.data_root, args.save_dir, mcfg, dcfg, datacfg, tcfg)
+
+
+if __name__ == "__main__":
+    main()

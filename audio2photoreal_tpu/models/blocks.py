@@ -86,11 +86,17 @@ class MultiHeadAttention(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
 
 
+def exact_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """erf-based GELU — matches torch.nn.functional.gelu's default (the
+    reference's activation, model/diffusion.py:93)."""
+    return nn.gelu(x, approximate=False)
+
+
 class FeedForward(nn.Module):
     dim: int
     hidden: int
     dropout: float = 0.1
-    activation: Callable = nn.gelu
+    activation: Callable = exact_gelu
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

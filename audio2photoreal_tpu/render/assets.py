@@ -1,0 +1,201 @@
+"""Renderer asset construction.
+
+Two producers of ``RendererAssets``:
+- ``convert_static_assets``: maps the reference's downloaded
+  ``static_assets.pt`` + LBS config blobs (visualize/render_codes.py:52-89,
+  ca_body/utils/lbs.py:424+) into JAX pytrees.  Runs host-side with torch,
+  once per person.
+- ``make_synthetic_assets``: a small procedural "capsule person" (cylinder
+  mesh, 3-joint chain, grid UV atlas) exercising every asset field — the
+  renderer's test fixture, standing in for capture data that the reference
+  also does not ship.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from audio2photoreal_tpu.render.geometry import GeometryModule
+from audio2photoreal_tpu.render.lbs import LBSModule, Skeleton
+from audio2photoreal_tpu.render.mesh_vae import RendererAssets, RendererConfig
+from audio2photoreal_tpu.render.seams import SeamSampler
+
+
+def empty_seam_sampler(uv_size: int) -> SeamSampler:
+    return SeamSampler(
+        impaint_dst=jnp.zeros((0,), jnp.int32),
+        impaint_src=jnp.zeros((0,), jnp.int32),
+        resample_uvs=jnp.zeros((0, 2)),
+        resample_dst=jnp.zeros((0,), jnp.int32),
+        resample_weights=jnp.zeros((0,)),
+        uv_size=uv_size,
+    )
+
+
+def _cylinder_mesh(n_around: int = 8, n_height: int = 6, radius: float = 0.3, height: float = 2.0):
+    """Open cylinder with a grid UV atlas; returns (verts, faces, uv, uv_faces)."""
+    verts, uvs = [], []
+    for j in range(n_height):
+        z = height * j / (n_height - 1)
+        for i in range(n_around):
+            a = 2 * np.pi * i / n_around
+            verts.append([radius * np.cos(a), radius * np.sin(a), z])
+            uvs.append([(i + 0.5) / n_around, (j + 0.5) / n_height])
+    faces = []
+    for j in range(n_height - 1):
+        for i in range(n_around):
+            a = j * n_around + i
+            b = j * n_around + (i + 1) % n_around
+            c = (j + 1) * n_around + i
+            d = (j + 1) * n_around + (i + 1) % n_around
+            # skip the wrap-around strip in UV space (it would fold the atlas)
+            if (i + 1) % n_around != 0:
+                faces.append([a, b, c])
+                faces.append([b, d, c])
+    return (
+        np.asarray(verts, np.float32),
+        np.asarray(faces, np.int64),
+        np.asarray(uvs, np.float32),
+        np.asarray(faces, np.int64),  # uv faces == geom faces (shared indexing)
+    )
+
+
+def make_synthetic_assets(cfg: RendererConfig, seed: int = 0) -> RendererAssets:
+    rng = np.random.RandomState(seed)
+    verts, faces, uvs, uv_faces = _cylinder_mesh()
+    V = len(verts)
+    geo = GeometryModule.create(faces, uvs, uv_faces, cfg.uv_size, impaint=True)
+
+    # 3-joint chain up the cylinder axis
+    skel = Skeleton.create(
+        parents=[-1, 0, 1],
+        offset=np.array([[0, 0, 0], [0, 0, 1.0], [0, 0, 1.0]], np.float32),
+        rotation=np.tile(np.array([0, 0, 0, 1], np.float32), (3, 1)),
+    )
+    # 104-d pose → 21 channel params: root uses pose[0:6], joints 1/2 rotate
+    transform = np.zeros((21, 104), np.float32)
+    transform[0:6, 0:6] = np.eye(6)
+    transform[10, 6] = 1.0  # joint1 rx
+    transform[17, 7] = 1.0  # joint2 rx
+    offsets = np.zeros(21, np.float32)
+    z = verts[:, 2]
+    w1 = np.clip(z / 2.0, 0, 1)
+    skin_weights = np.stack([1 - w1, w1 * 0.7, w1 * 0.3], axis=1).astype(np.float32)
+    skin_weights /= skin_weights.sum(1, keepdims=True)
+    skin_indices = np.tile(np.array([0, 1, 2]), (V, 1))
+    lbs = LBSModule.create(skel, transform, offsets, skin_indices, skin_weights, verts)
+
+    S0 = cfg.init_uv_size
+    Senc = cfg.encoder_in_size
+    return RendererAssets(
+        geo=geo,
+        lbs=lbs,
+        seam=empty_seam_sampler(cfg.uv_size),
+        seam_2k=empty_seam_sampler(cfg.upscale_size),
+        tex_mean=jnp.asarray(rng.rand(cfg.upscale_size, cfg.upscale_size, 3) * 100, jnp.float32),
+        tex_std=64.0,
+        ao_mean=jnp.asarray(rng.rand(cfg.shadow_size, cfg.shadow_size, 1), jnp.float32),
+        face_cond_mask=jnp.asarray((rng.rand(S0, S0, 1) > 0.7), jnp.float32),
+        pose_cond_mask=jnp.asarray(rng.rand(S0, S0, 104 - 6) > 0.5, jnp.int32),
+        body_cond_mask=jnp.ones((S0, S0, 1), jnp.float32),
+        non_head_mask=jnp.ones((Senc, Senc, 1), jnp.float32),
+        face_tex_mask=jnp.ones((Senc, Senc, 1), jnp.float32),
+        frontal_view=jnp.asarray(np.array([0.0, 0.0, 1.0], np.float32)),
+    )
+
+
+def convert_static_assets(
+    static_assets_path: str, cfg: Optional[RendererConfig] = None
+) -> RendererAssets:
+    """Convert the reference's static_assets.pt into RendererAssets.
+
+    Requires torch host-side; fields follow AutoEncoder.__init__
+    (mesh_vae_drivable.py:90-200).  NCHW buffers are permuted to NHWC.
+    """
+    import torch
+
+    cfg = cfg or RendererConfig()
+    a = torch.load(static_assets_path, map_location="cpu", weights_only=False)
+
+    def np_(x):
+        return np.asarray(x)
+
+    geo = GeometryModule.create(
+        np_(a["topology"]["vi"]), np_(a["topology"]["vt"]), np_(a["topology"]["vti"]),
+        cfg.uv_size, impaint=True,
+    )
+    skel_json = a["lbs_model_json"]
+    lbs_cfg = a["lbs_config_dict"]
+    bones = skel_json["Skeleton"]["Bones"]
+    parents = [b["Parent"] if b["Parent"] <= len(bones) else -1 for b in bones]
+    offs = np.array([b["TranslationOffset"] for b in bones], np.float32)
+    rots = np.array([b["PreRotation"] for b in bones], np.float32)
+    skel = Skeleton.create(parents, offs, rots)
+
+    skin_model = skel_json["SkinnedModel"]
+    weights = np.array([e[1] for e in skin_model["SkinningWeights"]], np.float32)
+    indices = np.array([e[0] for e in skin_model["SkinningWeights"]], np.int64)
+    offsets_arr = np.array(skin_model["SkinningOffsets"], np.int64)
+    nv = len(offsets_arr) - 1
+    K = 8
+    skin_weights = np.zeros((nv, K), np.float32)
+    skin_indices = np.zeros((nv, K), np.int64)
+    right = offsets_arr[1:]
+    for k in range(K):
+        left = offsets_arr[:-1] + k
+        valid = left < right
+        skin_weights[valid, k] = weights[left[valid]]
+        skin_indices[valid, k] = indices[left[valid]]
+
+    lbs = LBSModule.create(
+        skel,
+        np_(lbs_cfg["transform"]),
+        np_(lbs_cfg["transform_offsets"]).reshape(-1),
+        skin_indices,
+        skin_weights,
+        np_(a["lbs_template_verts"]),
+        global_scaling=float(np.asarray(a.get("global_scaling", [1.0])).reshape(-1)[0]),
+    )
+
+    def seam_from(data, uv_size):
+        # reference seam_data dict contract (ca_body/utils/seams.py usage)
+        return SeamSampler(
+            impaint_dst=jnp.asarray(np_(data["dst_ij"]), jnp.int32)
+            if "dst_ij" in data
+            else jnp.zeros((0,), jnp.int32),
+            impaint_src=jnp.asarray(np_(data.get("src_ij", np.zeros(0))), jnp.int32),
+            resample_uvs=jnp.asarray(np_(data.get("uvs", np.zeros((0, 2)))), jnp.float32),
+            resample_dst=jnp.asarray(np_(data.get("dst_tidx", np.zeros(0))), jnp.int32),
+            resample_weights=jnp.asarray(np_(data.get("weights", np.zeros(0))), jnp.float32),
+            uv_size=uv_size,
+        )
+
+    S0 = cfg.init_uv_size
+    pose_cond = np_(a["pose_cond_mask"])  # [P?, S0, S0] or [S0, S0, P]
+    if pose_cond.ndim == 3 and pose_cond.shape[0] not in (S0,):
+        pose_cond = pose_cond.transpose(1, 2, 0)
+    head_cond = np_(a.get("head_cond_mask", np.zeros((S0, S0))))
+    pose_cond = pose_cond * (1 - head_cond[..., None])
+
+    def hw1(x, size=None):
+        x = np_(x).squeeze()
+        return jnp.asarray(x[..., None], jnp.float32)
+
+    return RendererAssets(
+        geo=geo,
+        lbs=lbs,
+        seam=seam_from(a["seam_data_1024"], cfg.uv_size),
+        seam_2k=seam_from(a["seam_data_2048"], cfg.upscale_size),
+        tex_mean=jnp.asarray(np_(a["tex_mean"]).transpose(1, 2, 0), jnp.float32),
+        tex_std=float(a.get("tex_var", 64.0)),
+        ao_mean=hw1(a["ao_mean"]),
+        face_cond_mask=hw1(a["face_cond_mask"]),
+        pose_cond_mask=jnp.asarray(pose_cond, jnp.int32),
+        body_cond_mask=hw1(a["body_cond_mask"]),
+        non_head_mask=hw1(1.0 - np_(a["face_mask"])),
+        face_tex_mask=hw1(np_(a["mugsy_face_mask"])[..., 0]),
+        frontal_view=jnp.asarray(np_(a["face_frontal_view"]), jnp.float32).reshape(-1)[:3],
+    )

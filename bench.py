@@ -50,9 +50,11 @@ def main():
     K = T // 30
     kf = jax.random.normal(jax.random.PRNGKey(2), (B, K, 104))
     kv = jnp.ones((B, K))
-    params = model.init({"params": jax.random.PRNGKey(3)}, x, t0, audio, kf, kv)
+    # jit the inits: eager init dispatches thousands of tiny ops through the
+    # device tunnel (~2 min); jitted it is one executable (~seconds)
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(3)}, x, t0, audio, kf, kv)
     gtokens = jnp.zeros((B, 4), jnp.int32)
-    gparams = guide.init({"params": jax.random.PRNGKey(4)}, gtokens, audio)
+    gparams = jax.jit(guide.init)({"params": jax.random.PRNGKey(4)}, gtokens, audio)
 
     sched = maybe_respaced(dcfg.schedule, dcfg.steps, dcfg.timestep_respacing)
 
