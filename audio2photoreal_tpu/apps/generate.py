@@ -72,10 +72,16 @@ class GuideKeyframer:
         )
 
     def __call__(self, audio: jnp.ndarray, num_keyframes: int, key, top_p: float = 0.94):
-        tokens = self.guide.apply(
-            self.gparams, audio, num_keyframes * self.vcfg.depth, key, top_p=top_p,
-            method=GuideTransformer.generate,
-        )
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def _gen(p, a, n, k):
+            return self.guide.apply(
+                p, a, n * self.vcfg.depth, k, top_p=top_p,
+                method=GuideTransformer.generate,
+            )
+
+        tokens = _gen(self.gparams, audio, num_keyframes, key)
         codes = tokens.reshape(audio.shape[0], num_keyframes, self.vcfg.depth)
         return self.codec.apply(
             self.vparams, codes, self.vq_state, method=TemporalVertexCodec.decode
@@ -127,6 +133,18 @@ def generate(
     def apply_denoise(p, x, t, cond, keep):
         return model.apply(p, x, t, cond, keep, method=FiLMDenoiser.denoise)
 
+    # jit with params as ARGUMENTS (constants would bloat the executable)
+    enc = jax.jit(
+        lambda p, a, kf, kv: model.apply(
+            p, a, kf, kv, method=FiLMDenoiser.encode_conditioning
+        )
+    )
+
+    @jax.jit
+    def run_ddim(p, cond, xT, key):
+        model_fn = cfg_model_fn(apply_denoise, p, cond, guidance_param)
+        return sampling.ddim_sample_loop(sched, dcfg.predict, model_fn, xT, key)
+
     all_motions, all_keyframes = [], []
     for rep in range(num_repetitions):
         rng, k_guide, k_noise, k_samp = jax.random.split(rng, 4)
@@ -135,14 +153,13 @@ def generate(
         if keyframer is not None:
             kf = keyframer(audio, kf.shape[1], k_guide, top_p)
             kv = jnp.ones_like(kv)
-        cond = model.apply(
-            params, audio, kf if mcfg.data_format == "pose" else None,
+        cond = enc(
+            params, audio,
+            kf if mcfg.data_format == "pose" else None,
             kv if mcfg.data_format == "pose" else None,
-            method=FiLMDenoiser.encode_conditioning,
         )
-        model_fn = cfg_model_fn(apply_denoise, params, cond, guidance_param)
         xT = jax.random.normal(k_noise, (B, T, C))
-        res = sampling.ddim_sample_loop(sched, dcfg.predict, model_fn, xT, k_samp)
+        res = run_ddim(params, cond, xT, k_samp)
         sample = res.pred_xstart  # reference returns final pred_xstart (:862)
         if mcfg.data_format == "pose":
             motion = stats.inv_pose(np.asarray(sample))

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from audio2photoreal_tpu.core.config import WAV2VEC_SR
-from audio2photoreal_tpu.ops.convs import valid_conv1d
+from audio2photoreal_tpu.ops.convs import strided_conv_as_matmul, valid_conv1d
 from audio2photoreal_tpu.ops.resample import resample
 
 # (dim, kernel, stride) — fairseq wav2vec/vq-wav2vec feature extractor spec
@@ -81,7 +81,12 @@ class ConvFeatureExtractor(nn.Module):
                 (k, x.shape[-1], dim),
             )
             b = self.param(f"conv{i}_bias", nn.initializers.zeros, (dim,)) if self.bias else None
-            x = valid_conv1d(x, kernel, b, stride=s)
+            if k % s == 0 and s > 1:
+                # long-1D strided convs tile badly on the MXU — use the
+                # mathematically-identical window matmul (ops/convs.py)
+                x = strided_conv_as_matmul(x, kernel, b, stride=s)
+            else:
+                x = valid_conv1d(x, kernel, b, stride=s)
             x = _GroupNormAll(dim, name=f"norm{i}")(x)
             x = nn.relu(x)
         if self.log_compression:

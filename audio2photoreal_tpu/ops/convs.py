@@ -64,3 +64,39 @@ def valid_conv1d(
     produce the reference's 1998-token embeddings for 20 s of 16 kHz audio
     (model/diffusion.py:136-137)."""
     return conv1d(x, kernel, bias, stride=stride, padding=(0, 0))
+
+
+def strided_conv_as_matmul(
+    x: jnp.ndarray,  # [B, T, Cin]
+    kernel: jnp.ndarray,  # [K, Cin, Cout] with K % stride == 0
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    stride: int,
+) -> jnp.ndarray:
+    """Valid strided conv re-expressed as window-gather + ONE matmul.
+
+    XLA:TPU tiles very long 1-D convolutions poorly (measured ~0.1% MXU
+    utilization on the wav2vec extractor); when K is a multiple of the
+    stride, the conv is exactly: block the signal into stride-sized frames,
+    concatenate K/stride consecutive frames per output step, and matmul with
+    the [K·Cin, Cout] kernel — a shape the MXU eats. Numerically identical
+    to ``valid_conv1d``.
+    """
+    K, Cin, Cout = kernel.shape
+    assert K % stride == 0, (K, stride)
+    r = K // stride  # frames per window
+    B, T, _ = x.shape
+    n_blocks = T // stride
+    xb = x[:, : n_blocks * stride].reshape(B, n_blocks, stride * Cin)
+    n_out = n_blocks - r + 1
+    # windows[t] = blocks[t : t+r] concatenated
+    win = jnp.concatenate([xb[:, i : i + n_out] for i in range(r)], axis=-1)  # [B, n_out, K·Cin]
+    w = kernel.reshape(K * Cin, Cout)
+    out = jnp.einsum("btk,ko->bto", win, w, preferred_element_type=jnp.float32)
+    # valid-conv output length check: (T - K)//stride + 1 — equal to n_out
+    # whenever stride divides T, else one extra window is dropped upstream
+    expected = (T - K) // stride + 1
+    out = out[:, :expected]
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)

@@ -1,0 +1,164 @@
+"""Pallas TPU rasterizer kernel — tile-local z-buffer.
+
+The hardest native piece of the port (SURVEY §7 hard-part #1): replaces
+pytorch3d's CUDA ``rasterize_meshes`` (reference:
+visualize/ca_body/utils/render.py:28-63).  Strategy:
+
+- the image is cut into VMEM-resident tiles (grid = batch × H/TH × W/TW),
+- triangle data is packed host-side as one [F, 12] array (pixel-space
+  vertices, per-vertex depth, validity) that fits whole in VMEM for the
+  ~7k-face avatar meshes,
+- each program sweeps the faces in CHUNK-sized blocks with a ``fori_loop``,
+  evaluating barycentrics for [CHUNK, TH, TW] in registers/VMEM and keeping a
+  running nearest-depth (face id, barys) — the z-buffer never touches HBM
+  until the final tile write.
+
+Semantics match render/rasterizer.py (the XLA reference implementation):
+inside test on all three barycentrics ≥ 0, nearest positive depth wins,
+background = face −1.  That module uses this kernel on TPU and falls back to
+the XLA path elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_triangles(
+    pix_verts: jnp.ndarray,  # [B, V, 2]
+    depth: jnp.ndarray,  # [B, V]
+    faces: jnp.ndarray,  # [F, 3]
+    chunk: int,
+) -> jnp.ndarray:
+    """→ [B, F_pad, 12]: xa ya xb yb xc yc za zb zc valid pad pad."""
+    tri = pix_verts[:, faces]  # [B, F, 3, 2]
+    tz = depth[:, faces]  # [B, F, 3]
+    B, F = tri.shape[:2]
+    data = jnp.concatenate(
+        [tri.reshape(B, F, 6), tz, jnp.ones((B, F, 1)), jnp.zeros((B, F, 2))], axis=-1
+    )
+    pad = (-F) % chunk
+    if pad:
+        data = jnp.pad(data, ((0, 0), (0, pad), (0, 0)))
+    return data
+
+
+def _raster_kernel(tri_ref, face_ref, depth_ref, bary_ref, *, th, tw, chunk, n_faces_pad):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ys = (i * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)).astype(jnp.float32)
+    xs = (j * tw + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)).astype(jnp.float32)
+
+    n_chunks = n_faces_pad // chunk
+
+    def body(c, carry):
+        best_z, best_f, b0, b1, b2 = carry
+        tri = tri_ref[pl.ds(c * chunk, chunk), :]  # [CHUNK, 12]
+        xa = tri[:, 0][:, None, None]
+        ya = tri[:, 1][:, None, None]
+        xb = tri[:, 2][:, None, None]
+        yb = tri[:, 3][:, None, None]
+        xc = tri[:, 4][:, None, None]
+        yc = tri[:, 5][:, None, None]
+        za = tri[:, 6][:, None, None]
+        zb = tri[:, 7][:, None, None]
+        zc = tri[:, 8][:, None, None]
+        valid = tri[:, 9][:, None, None] > 0.5
+
+        det = (yb - yc) * (xa - xc) + (xc - xb) * (ya - yc)
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        dx = xs[None] - xc
+        dy = ys[None] - yc
+        w0 = ((yb - yc) * dx + (xc - xb) * dy) * inv_det
+        w1 = ((yc - ya) * dx + (xa - xc) * dy) * inv_det
+        w2 = 1.0 - w0 - w1
+        z = w0 * za + w1 * zb + w2 * zc
+        inside = (
+            (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+            & (jnp.abs(det) > 1e-12) & valid & (z > 1e-6)
+        )
+        z = jnp.where(inside, z, jnp.inf)  # [CHUNK, TH, TW]
+
+        zmin = jnp.min(z, axis=0)
+        amin = jnp.argmin(z, axis=0)  # [TH, TW]
+        take = zmin < best_z
+        # gather the winning barycentrics via one-hot (argmin-gather along
+        # the chunk axis is not natively supported)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, z.shape, 0) == amin[None]
+        ).astype(jnp.float32)
+        sel = lambda w: jnp.sum(jnp.where(jnp.isfinite(z), w, 0.0) * onehot, axis=0)
+        best_f = jnp.where(take, c * chunk + amin, best_f)
+        b0 = jnp.where(take, sel(w0), b0)
+        b1 = jnp.where(take, sel(w1), b1)
+        b2 = jnp.where(take, sel(w2), b2)
+        best_z = jnp.minimum(best_z, zmin)
+        return best_z, best_f, b0, b1, b2
+
+    init = (
+        jnp.full((th, tw), jnp.inf, jnp.float32),
+        jnp.full((th, tw), -1, jnp.int32),
+        jnp.zeros((th, tw), jnp.float32),
+        jnp.zeros((th, tw), jnp.float32),
+        jnp.zeros((th, tw), jnp.float32),
+    )
+    best_z, best_f, b0, b1, b2 = jax.lax.fori_loop(0, n_chunks, body, init)
+    face_ref[:, :] = best_f
+    depth_ref[:, :] = best_z
+    bary_ref[:, :, 0] = b0
+    bary_ref[:, :, 1] = b1
+    bary_ref[:, :, 2] = b2
+
+
+def rasterize_pallas(
+    pix_verts: jnp.ndarray,  # [B, V, 2]
+    depth: jnp.ndarray,  # [B, V]
+    faces: jnp.ndarray,  # [F, 3]
+    height: int,
+    width: int,
+    *,
+    tile: Tuple[int, int] = (128, 128),
+    chunk: int = 16,  # [chunk, th, tw] f32 temporaries must stay under ~16MB VMEM
+    interpret: bool = False,
+):
+    """→ (face_index [B, H, W], barys [B, H, W, 3], depth [B, H, W])."""
+    th, tw = tile
+    Hp = -(-height // th) * th
+    Wp = -(-width // tw) * tw
+    tri = pack_triangles(pix_verts, depth, faces, chunk)
+    B, F_pad, _ = tri.shape
+
+    kernel = functools.partial(
+        _raster_kernel, th=th, tw=tw, chunk=chunk, n_faces_pad=F_pad
+    )
+
+    def single(tri_b):
+        return pl.pallas_call(
+            kernel,
+            grid=(Hp // th, Wp // tw),
+            in_specs=[
+                pl.BlockSpec((F_pad, 12), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+            ],
+            out_specs=(
+                pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((th, tw, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+                jax.ShapeDtypeStruct((Hp, Wp, 3), jnp.float32),
+            ),
+            interpret=interpret,
+        )(tri_b)
+
+    face, dep, bary = jax.vmap(single)(tri)
+    return face[:, :height, :width], bary[:, :height, :width], dep[:, :height, :width]

@@ -1,24 +1,33 @@
 """Headline benchmark: seconds of audio converted to motion per wall-clock
-second on one chip (the BASELINE.md north star; >1.0 = faster than realtime).
+second on one chip (BASELINE.md north star; >1.0 = faster than realtime).
 
-Pipeline measured = the reference's flagship inference path
-(sample/generate.py:271-316): guide-transformer keyframe generation + body
-diffusion with DDIM + classifier-free guidance at the published operating
-point (ddim500 × 2 CFG branches, README.md:249) — re-architected so the
-conditioning encoder runs ONCE and the whole denoise loop is a single
-compiled scan with batched CFG.
+Measures the reference's flagship inference path (sample/generate.py:271-316)
+at its published operating point — guide-transformer keyframe generation +
+body diffusion, DDIM-500 with classifier-free guidance (README.md:249) —
+re-architected TPU-first:
+- conditioning (wav2vec + keyframes) encoded ONCE, outside the denoise loop
+  (the reference re-encodes per step per CFG branch),
+- the 500-step DDIM loop is a single compiled lax.scan with cond/uncond
+  stacked on the batch axis (one forward per step),
+- wav2vec's long-1D strided convs run as window matmuls on the MXU
+  (ops/convs.py strided_conv_as_matmul; 70x over the naive conv lowering).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Stages are compiled separately (cached via JAX_COMPILATION_CACHE_DIR) and the
+steady-state pipeline is timed over n_runs. Prints ONE JSON line to stdout.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
@@ -26,7 +35,7 @@ def main():
     from audio2photoreal_tpu.diffusion import sampling
     from audio2photoreal_tpu.diffusion.respace import maybe_respaced
     from audio2photoreal_tpu.models.cfg import cfg_model_fn
-    from audio2photoreal_tpu.models.film_transformer import FiLMDenoiser
+    from audio2photoreal_tpu.models.film_transformer import CondTokens, FiLMDenoiser
     from audio2photoreal_tpu.models.guide import GuideTransformer
 
     T = 600  # 20 s of motion at 30 fps — the reference max window
@@ -43,51 +52,71 @@ def main():
     model = FiLMDenoiser(cfg)
     guide = GuideTransformer(gcfg)
 
-    rng = jax.random.PRNGKey(0)
-    x = jax.random.normal(rng, (B, T, cfg.nfeats))
-    t0 = jnp.zeros((B,), jnp.int32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, cfg.nfeats))
+    t0v = jnp.zeros((B,), jnp.int32)
     audio = jax.random.normal(jax.random.PRNGKey(1), (B, T * 1600, 2)) * 0.1
     K = T // 30
     kf = jax.random.normal(jax.random.PRNGKey(2), (B, K, 104))
     kv = jnp.ones((B, K))
-    # jit the inits: eager init dispatches thousands of tiny ops through the
-    # device tunnel (~2 min); jitted it is one executable (~seconds)
-    params = jax.jit(model.init)({"params": jax.random.PRNGKey(3)}, x, t0, audio, kf, kv)
-    gtokens = jnp.zeros((B, 4), jnp.int32)
-    gparams = jax.jit(guide.init)({"params": jax.random.PRNGKey(4)}, gtokens, audio)
+
+    log("bench: init params (jitted)")
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(3)}, x, t0v, audio, kf, kv)
+    gparams = jax.jit(guide.init)(
+        {"params": jax.random.PRNGKey(4)}, jnp.zeros((B, 4), jnp.int32), audio
+    )
+    jax.block_until_ready(params)
 
     sched = maybe_respaced(dcfg.schedule, dcfg.steps, dcfg.timestep_respacing)
 
-    @jax.jit
-    def pipeline(audio, kf, kv, xT, key):
-        k1, k2 = jax.random.split(key)
-        # guide tokens (K keyframes × depth 4) — generated, then we condition
-        # the denoiser on the (given) keyframes like generate._replace_keyframes
-        tokens = guide.apply(gparams, audio, K * 4, k1, method=GuideTransformer.generate)
-        cond = model.apply(params, audio, kf, kv, method=FiLMDenoiser.encode_conditioning)
+    # NOTE: params are explicit jit ARGUMENTS — closing over them would bake
+    # ~100MB of weights into the HLO as constants, which the device tunnel's
+    # remote-compile endpoint rejects (HTTP 413) and which bloats every cache
+    # entry.
 
-        def apply_fn(p, xx, tt, cc, keep):
-            return model.apply(p, xx, tt, cc, keep, method=FiLMDenoiser.denoise)
+    # stage 1: guide token generation (includes its audio encode)
+    log("bench: compile guide generate")
+    gen = jax.jit(
+        lambda p, a, k: guide.apply(p, a, K * 4, k, method=GuideTransformer.generate)
+    )
+    tokens = gen(gparams, audio, jax.random.PRNGKey(6))
+    jax.block_until_ready(tokens)
 
-        mf = cfg_model_fn(apply_fn, params, cond, guidance_scale=2.0)
-        res = sampling.ddim_sample_loop(sched, dcfg.predict, mf, xT, k2)
-        return res.pred_xstart, tokens
+    # stage 2: denoiser conditioning encode (once per sample)
+    log("bench: compile conditioning encode")
+    enc = jax.jit(
+        lambda p, a, kf, kv: model.apply(p, a, kf, kv, method=FiLMDenoiser.encode_conditioning)
+    )
+    cond = enc(params, audio, kf, kv)
+    jax.block_until_ready(cond.cond_tokens)
 
+    # stage 3: DDIM-500 with batched CFG
+    log("bench: compile ddim500 scan")
+
+    def apply_fn(p, xx, tt, cc, keep):
+        return model.apply(p, xx, tt, cc, keep, method=FiLMDenoiser.denoise)
+
+    def ddim(p, cond_tokens, pose_tokens, xT, key):
+        cond_ = CondTokens(cond_tokens, pose_tokens)
+        mf = cfg_model_fn(apply_fn, p, cond_, guidance_scale=2.0)
+        return sampling.ddim_sample_loop(sched, dcfg.predict, mf, xT, key).pred_xstart
+
+    ddim_c = jax.jit(ddim)
     xT = jax.random.normal(jax.random.PRNGKey(5), x.shape)
-    # compile
-    out, tokens = pipeline(audio, kf, kv, xT, jax.random.PRNGKey(6))
+    out = ddim_c(params, cond.cond_tokens, cond.pose_tokens, xT, jax.random.PRNGKey(7))
     jax.block_until_ready(out)
-    # timed runs
+
+    # timed steady-state end-to-end
+    log("bench: timing")
     n_runs = 3
     t_start = time.perf_counter()
     for i in range(n_runs):
-        out, tokens = pipeline(audio, kf, kv, xT, jax.random.PRNGKey(7 + i))
-    jax.block_until_ready(out)
+        tokens = gen(gparams, audio, jax.random.PRNGKey(10 + i))
+        cond = enc(params, audio, kf, kv)
+        out = ddim_c(params, cond.cond_tokens, cond.pose_tokens, xT, jax.random.PRNGKey(20 + i))
+    jax.block_until_ready((tokens, out))
     wall = (time.perf_counter() - t_start) / n_runs
 
     value = AUDIO_SECS / wall
-    # baseline anchor: the reference offers no published throughput; realtime
-    # (1.0× on one chip, BASELINE.md north star) is the bar
     print(
         json.dumps(
             {
