@@ -9,27 +9,35 @@ Re-designs of model/modules/transformer_modules.py (reference):
 Rotary compatibility note: the reference rotates Q=K on the FULL d_model
 BEFORE the q/k projections (transformer_modules.py:88,238,252-253) — not
 per-head after the split.  That choice is load-bearing for torch-checkpoint
-parity, so it is the default here (``rotary_mode="pre_proj"``); the idiomatic
-per-head application is available as ``rotary_mode="per_head"`` for models
-trained in this framework.
+parity, so it is reproduced here.
+
+KV-cache decoding: ``FiLMDecoderLayer.step`` processes ONE new token against
+cached self-attention K/V and precomputed cross-attention K/V — the
+reference's generate loop re-runs the full transformer per token
+(model/guide.py:197-218); here a cached step is O(L) instead of O(L²).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-import jax
-
-from audio2photoreal_tpu.ops.attention import dot_product_attention
+from audio2photoreal_tpu.ops.attention import NEG_INF, dot_product_attention
 from audio2photoreal_tpu.ops.rotary import RotaryTable, apply_rotary
 
 
 def mish(x: jnp.ndarray) -> jnp.ndarray:
     """x · tanh(softplus(x)) — torch.nn.Mish equivalent."""
     return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def exact_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """erf-based GELU — matches torch.nn.functional.gelu's default (the
+    reference's activation, model/diffusion.py:93)."""
+    return nn.gelu(x, approximate=False)
 
 
 class DenseFiLM(nn.Module):
@@ -52,44 +60,57 @@ def featurewise_affine(x: jnp.ndarray, scale_shift) -> jnp.ndarray:
 
 class MultiHeadAttention(nn.Module):
     """torch.nn.MultiheadAttention-compatible attention (separate q/kv inputs,
-    packed-head projections convertible from in_proj_weight)."""
+    packed-head projections convertible from in_proj_weight).
+
+    Extra cached-decode surface: ``project_kv`` produces projected K/V for
+    caching; ``attend`` runs attention given already-projected K/V."""
 
     dim: int
     heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(
+    def setup(self):
+        self.q_proj = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")
+        self.k_proj = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")
+        self.v_proj = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")
+        self.out_proj = nn.Dense(self.dim, dtype=self.dtype, name="out_proj")
+
+    def _split(self, x):
+        B = x.shape[0]
+        return x.reshape(B, -1, self.heads, self.dim // self.heads).transpose(0, 2, 1, 3)
+
+    def project_kv(self, k_in: jnp.ndarray, v_in: jnp.ndarray):
+        return self.k_proj(k_in), self.v_proj(v_in)
+
+    def attend(
         self,
-        q_in: jnp.ndarray,  # [B, Tq, D]
-        k_in: jnp.ndarray,  # [B, Tk, D]
-        v_in: jnp.ndarray,  # [B, Tk, D]
+        q_in: jnp.ndarray,  # [B, Tq, D] (pre-projection)
+        k: jnp.ndarray,  # [B, Tk, D] (already projected)
+        v: jnp.ndarray,
         bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        B, Tq, D = q_in.shape
-        Dh = self.dim // self.heads
-        q = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(q_in)
-        k = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")(k_in)
-        v = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(v_in)
-
-        def split(x):
-            return x.reshape(B, -1, self.heads, Dh).transpose(0, 2, 1, 3)
-
+        B, Tq, _ = q_in.shape
+        q = self.q_proj(q_in)
         rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
         out = dot_product_attention(
-            split(q), split(k), split(v), bias,
+            self._split(q), self._split(k), self._split(v), bias,
             dropout_rate=self.dropout, dropout_rng=rng, deterministic=deterministic,
         )
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
+        return self.out_proj(out)
 
-
-def exact_gelu(x: jnp.ndarray) -> jnp.ndarray:
-    """erf-based GELU — matches torch.nn.functional.gelu's default (the
-    reference's activation, model/diffusion.py:93)."""
-    return nn.gelu(x, approximate=False)
+    def __call__(
+        self,
+        q_in: jnp.ndarray,
+        k_in: jnp.ndarray,
+        v_in: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        k, v = self.project_kv(k_in, v_in)
+        return self.attend(q_in, k, v, bias, deterministic)
 
 
 class FeedForward(nn.Module):
@@ -123,7 +144,23 @@ class FiLMDecoderLayer(nn.Module):
     use_cm: bool = False  # second cross-attention memory (pose keyframes)
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        D, H = self.dim, self.heads
+        self.self_attn = MultiHeadAttention(D, H, self.dropout, self.dtype, name="self_attn")
+        self.cross_attn = MultiHeadAttention(D, H, self.dropout, self.dtype, name="cross_attn")
+        self.norm1 = nn.LayerNorm(name="norm1", dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(name="norm2", dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(name="norm3", dtype=self.dtype)
+        self.film1 = DenseFiLM(D, self.dtype, name="film1")
+        self.film2 = DenseFiLM(D, self.dtype, name="film2")
+        self.film3 = DenseFiLM(D, self.dtype, name="film3")
+        self.ff = FeedForward(D, self.ff_size, self.dropout, dtype=self.dtype, name="ff")
+        self.drop = nn.Dropout(self.dropout)
+        if self.use_cm:
+            self.cross_attn2 = MultiHeadAttention(D, H, self.dropout, self.dtype, name="cross_attn2")
+            self.norm2a = nn.LayerNorm(name="norm2a", dtype=self.dtype)
+            self.film2a = DenseFiLM(D, self.dtype, name="film2a")
+
     def __call__(
         self,
         x: jnp.ndarray,  # [B, T, D]
@@ -136,47 +173,75 @@ class FiLMDecoderLayer(nn.Module):
         x_offset=0,  # rotary position offset of x (KV-cache decode)
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        drop = lambda h: nn.Dropout(self.dropout, name=None)(h, deterministic=deterministic)
-
-        # self-attention (Q=K rotated pre-projection, V raw)
-        h = nn.LayerNorm(name="norm1", dtype=self.dtype)(x)
+        h = self.norm1(x)
         qk = _maybe_rotate(h, rotary, x_offset)
-        h = MultiHeadAttention(self.dim, self.heads, self.dropout, self.dtype, name="self_attn")(
-            qk, qk, h, self_bias, deterministic
-        )
-        h = drop(h)
-        x = x + featurewise_affine(h, DenseFiLM(self.dim, self.dtype, name="film1")(t))
+        h = self.self_attn(qk, qk, h, self_bias, deterministic)
+        h = self.drop(h, deterministic=deterministic)
+        x = x + featurewise_affine(h, self.film1(t))
 
-        # cross-attention to audio/cond tokens
-        h = nn.LayerNorm(name="norm2", dtype=self.dtype)(x)
+        h = self.norm2(x)
         q = _maybe_rotate(h, rotary, x_offset)
         k = _maybe_rotate(memory, rotary)
-        h = MultiHeadAttention(self.dim, self.heads, self.dropout, self.dtype, name="cross_attn")(
-            q, k, memory, None, deterministic
-        )
-        h = drop(h)
-        x = x + featurewise_affine(h, DenseFiLM(self.dim, self.dtype, name="film2")(t))
+        h = self.cross_attn(q, k, memory, None, deterministic)
+        h = self.drop(h, deterministic=deterministic)
+        x = x + featurewise_affine(h, self.film2(t))
 
-        # optional second cross-attention (guide keyframe tokens)
         if self.use_cm:
-            h = nn.LayerNorm(name="norm2a", dtype=self.dtype)(x)
+            h = self.norm2a(x)
             q = _maybe_rotate(h, rotary, x_offset)
             assert memory2 is not None, "use_cm layer requires memory2"
             k = _maybe_rotate(memory2, rotary)
-            h = MultiHeadAttention(
-                self.dim, self.heads, self.dropout, self.dtype, name="cross_attn2"
-            )(q, k, memory2, None, deterministic)
-            h = drop(h)
-            x = x + featurewise_affine(h, DenseFiLM(self.dim, self.dtype, name="film2a")(t))
+            h = self.cross_attn2(q, k, memory2, None, deterministic)
+            h = self.drop(h, deterministic=deterministic)
+            x = x + featurewise_affine(h, self.film2a(t))
 
-        # feedforward
-        h = nn.LayerNorm(name="norm3", dtype=self.dtype)(x)
-        h = FeedForward(self.dim, self.ff_size, self.dropout, dtype=self.dtype, name="ff")(
-            h, deterministic
-        )
-        h = drop(h)
-        x = x + featurewise_affine(h, DenseFiLM(self.dim, self.dtype, name="film3")(t))
+        h = self.norm3(x)
+        h = self.ff(h, deterministic)
+        h = self.drop(h, deterministic=deterministic)
+        x = x + featurewise_affine(h, self.film3(t))
         return x
+
+    # ------------------------------------------------------------ #
+    # cached single-token decode
+    # ------------------------------------------------------------ #
+
+    def precompute_cross(self, memory: jnp.ndarray, rotary: Optional[RotaryTable]):
+        """→ (cross_k, cross_v): constant across decode steps."""
+        return self.cross_attn.project_kv(_maybe_rotate(memory, rotary), memory)
+
+    def step(
+        self,
+        x_tok: jnp.ndarray,  # [B, 1, D] current token activation
+        pos: jnp.ndarray,  # scalar int32 position
+        self_k: jnp.ndarray,  # [B, L, D] cached projected self K
+        self_v: jnp.ndarray,  # [B, L, D] cached self V
+        cross_k: jnp.ndarray,
+        cross_v: jnp.ndarray,
+        t: jnp.ndarray,  # [B, D] FiLM vector
+        rotary: Optional[RotaryTable],
+    ):
+        """One decode step → (out_tok [B,1,D], updated self_k, self_v)."""
+        L = self_k.shape[1]
+        h = self.norm1(x_tok)
+        qk = _maybe_rotate(h, rotary, offset=pos)
+        new_k, new_v = self.self_attn.project_kv(qk, h)
+        self_k = jax.lax.dynamic_update_slice(self_k, new_k, (0, pos, 0))
+        self_v = jax.lax.dynamic_update_slice(self_v, new_v, (0, pos, 0))
+        # mask positions > pos
+        valid = (jnp.arange(L) <= pos)[None, None, None, :]
+        bias = jnp.where(valid, 0.0, NEG_INF)
+        h = self.self_attn.attend(qk, self_k, self_v, bias)
+        x = x_tok + featurewise_affine(h, self.film1(t))
+
+        h = self.norm2(x)
+        q = _maybe_rotate(h, rotary, offset=pos)
+        h = self.cross_attn.attend(q, cross_k, cross_v, None)
+        x = x + featurewise_affine(h, self.film2(t))
+
+        h = self.norm3(x)
+        h = self.ff(h, deterministic=True)
+        x = x + featurewise_affine(h, self.film3(t))
+        return x, self_k, self_v
 
 
 class RotaryEncoderLayer(nn.Module):

@@ -167,25 +167,61 @@ class GuideTransformer(nn.Module):
         num_tokens: int,  # keyframes × vq_depth
         key: jax.Array,
         top_p: float = 0.94,
+        use_cache: bool = True,
     ) -> jnp.ndarray:
-        """Nucleus sampling decode (reference: guide.py:174-222), as one scan."""
+        """Nucleus sampling decode (reference: guide.py:174-222), as one scan.
+
+        With ``use_cache`` each step runs ONE token against cached self-attn
+        K/V and precomputed cross-attn K/V (O(L) per step); the cache-free
+        path re-forwards the whole buffer (O(L²), still audio-encode-free
+        unlike the reference)."""
         B = audio.shape[0]
         cond = self.encode_conditioning(audio, deterministic=True)
         buf = jnp.full((B, num_tokens + 1), self.start_token, dtype=jnp.int32)
 
-        def body(carry, i):
-            buf, k = carry
-            k, sub = jax.random.split(k)
-            logits = self.decode_logits(buf, cond, deterministic=True)
-            step_logits = jnp.take_along_axis(
-                logits, i[None, None, None].repeat(B, 0), axis=1
-            )[:, 0]  # [B, vocab] — logits at position i predict token i+1
-            tok = nucleus_sample(sub, step_logits, top_p)
-            buf = buf.at[:, i + 1].set(tok)
-            return (buf, k), None
+        if not use_cache:
+            def body(carry, i):
+                buf, k = carry
+                k, sub = jax.random.split(k)
+                logits = self.decode_logits(buf, cond, deterministic=True)
+                step_logits = jnp.take_along_axis(
+                    logits, i[None, None, None].repeat(B, 0), axis=1
+                )[:, 0]  # [B, vocab] — logits at position i predict token i+1
+                tok = nucleus_sample(sub, step_logits, top_p)
+                buf = buf.at[:, i + 1].set(tok)
+                return (buf, k), None
 
-        (buf, _), _ = jax.lax.scan(body, (buf, key), jnp.arange(num_tokens))
-        return buf[:, 1:]  # drop start token (guide.py:221)
+            (buf, _), _ = jax.lax.scan(body, (buf, key), jnp.arange(num_tokens))
+            return buf[:, 1:]  # drop start token (guide.py:221)
+
+        D = self.cfg.latent_dim
+        n_layers = len(self.layers)
+        L = num_tokens + 1
+        cross = [
+            layer.precompute_cross(cond.cond_tokens, self.rotary) for layer in self.layers
+        ]
+        ks0 = jnp.zeros((n_layers, B, L, D))
+        vs0 = jnp.zeros((n_layers, B, L, D))
+
+        def body(carry, i):
+            buf, ks, vs, k = carry
+            k, sub = jax.random.split(k)
+            tok = jax.lax.dynamic_slice(buf, (0, i), (B, 1))  # [B, 1]
+            x = self.token_embedding(tok)  # [B, 1, D]
+            for l, layer in enumerate(self.layers):
+                x, k_l, v_l = layer.step(
+                    x, i, ks[l], vs[l], cross[l][0], cross[l][1],
+                    cond.cond_hidden, self.rotary,
+                )
+                ks = ks.at[l].set(k_l)
+                vs = vs.at[l].set(v_l)
+            logits = self.final_layer(x[:, 0])
+            tok_next = nucleus_sample(sub, logits, top_p)
+            buf = buf.at[:, i + 1].set(tok_next)
+            return (buf, ks, vs, k), None
+
+        (buf, _, _, _), _ = jax.lax.scan(body, (buf, ks0, vs0, key), jnp.arange(num_tokens))
+        return buf[:, 1:]
 
 
 def nucleus_sample(key: jax.Array, logits: jnp.ndarray, top_p: float) -> jnp.ndarray:

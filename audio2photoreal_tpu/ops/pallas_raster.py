@@ -51,7 +51,9 @@ def pack_triangles(
     return data
 
 
-def _raster_kernel(tri_ref, face_ref, depth_ref, bary_ref, *, th, tw, chunk, n_faces_pad):
+def _raster_kernel(
+    tri_ref, face_ref, depth_ref, b0_ref, b1_ref, b2_ref, *, th, tw, chunk, n_faces_pad
+):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ys = (i * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)).astype(jnp.float32)
@@ -113,9 +115,11 @@ def _raster_kernel(tri_ref, face_ref, depth_ref, bary_ref, *, th, tw, chunk, n_f
     best_z, best_f, b0, b1, b2 = jax.lax.fori_loop(0, n_chunks, body, init)
     face_ref[:, :] = best_f
     depth_ref[:, :] = best_z
-    bary_ref[:, :, 0] = b0
-    bary_ref[:, :, 1] = b1
-    bary_ref[:, :, 2] = b2
+    # barycentrics as three planar outputs: a trailing dim of 3 would pad to
+    # 128 lanes under TPU (8, 128) tiling and blow the VMEM budget
+    b0_ref[:, :] = b0
+    b1_ref[:, :] = b1
+    b2_ref[:, :] = b2
 
 
 def rasterize_pallas(
@@ -141,24 +145,24 @@ def rasterize_pallas(
     )
 
     def single(tri_b):
+        tile_spec = lambda: pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             grid=(Hp // th, Wp // tw),
             in_specs=[
                 pl.BlockSpec((F_pad, 12), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
             ],
-            out_specs=(
-                pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((th, tw, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            ),
+            out_specs=(tile_spec(), tile_spec(), tile_spec(), tile_spec(), tile_spec()),
             out_shape=(
                 jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
                 jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-                jax.ShapeDtypeStruct((Hp, Wp, 3), jnp.float32),
+                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
             ),
             interpret=interpret,
         )(tri_b)
 
-    face, dep, bary = jax.vmap(single)(tri)
+    face, dep, b0, b1, b2 = jax.vmap(single)(tri)
+    bary = jnp.stack([b0, b1, b2], axis=-1)
     return face[:, :height, :width], bary[:, :height, :width], dep[:, :height, :width]

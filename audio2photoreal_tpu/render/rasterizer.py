@@ -15,7 +15,7 @@ reference rasterizes two-sided), nearest-depth wins.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,27 @@ def rasterize(
     pix_verts: jnp.ndarray,  # [B, V, 2] pixel coords
     depth: jnp.ndarray,  # [B, V] camera-space z
     faces: jnp.ndarray,  # [F, 3]
+    height: int,
+    width: int,
+    chunk: int = 256,
+    use_pallas: Optional[bool] = None,
+) -> RasterOut:
+    """Dispatch: the Pallas tile kernel on TPU (10× this XLA path at
+    1024×704/7k faces), the XLA chunked scan elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas:
+        from audio2photoreal_tpu.ops.pallas_raster import rasterize_pallas
+
+        face, bary, dep = rasterize_pallas(pix_verts, depth, faces, height, width)
+        return RasterOut(face_index=face, barys=bary, depth=dep)
+    return _rasterize_xla(pix_verts, depth, faces, height, width, chunk)
+
+
+def _rasterize_xla(
+    pix_verts: jnp.ndarray,
+    depth: jnp.ndarray,
+    faces: jnp.ndarray,
     height: int,
     width: int,
     chunk: int = 256,
