@@ -67,7 +67,8 @@ class DenoiserConfig:
     use_rotary: bool = True
     cond_encoder_layers: int = 2  # face-only rotary encoder over cond tokens
     postnet_receptive_field: int = 25  # pose-only causal conv stack (diffusion.py:153)
-    dtype: str = "bfloat16"
+    dtype: str = "float32"  # "bfloat16" → bf16 compute, f32 params (TPU policy)
+    remat: bool = False  # gradient-checkpoint the decoder stack (diffusion/nn.py:145 role)
 
     @property
     def cond_dim(self) -> int:

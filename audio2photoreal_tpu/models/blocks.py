@@ -166,12 +166,12 @@ class FiLMDecoderLayer(nn.Module):
         x: jnp.ndarray,  # [B, T, D]
         memory: jnp.ndarray,  # [B, Tm, D]
         t: jnp.ndarray,  # [B, D] FiLM conditioning vector
+        deterministic: bool = True,  # positional so nn.remat can mark it static
         *,
         memory2: Optional[jnp.ndarray] = None,
         self_bias: Optional[jnp.ndarray] = None,
         rotary: Optional[RotaryTable] = None,
         x_offset=0,  # rotary position offset of x (KV-cache decode)
-        deterministic: bool = True,
     ) -> jnp.ndarray:
         h = self.norm1(x)
         qk = _maybe_rotate(h, rotary, x_offset)

@@ -109,13 +109,21 @@ class FiLMDenoiser(nn.Module):
             )
             self.final_conv_bias = self.param("final_conv_bias", nn.initializers.zeros, (nf,))
 
+        compute_dtype = jnp.bfloat16 if c.dtype in ("bf16", "bfloat16") else jnp.float32
+        layer_cls = FiLMDecoderLayer
+        if c.remat:
+            # trade FLOPs for HBM: rematerialize each decoder layer on the
+            # backward pass (replaces diffusion/nn.py:145-213 CheckpointFunction);
+            # arg 4 = `deterministic` (self counts as 0) stays static
+            layer_cls = nn.remat(FiLMDecoderLayer, static_argnums=(4,))
         self.layers = [
-            FiLMDecoderLayer(
+            layer_cls(
                 D,
                 c.num_heads,
                 c.ff_size,
                 c.dropout,
                 use_cm=(c.data_format == "pose"),
+                dtype=compute_dtype,
                 name=f"decoder_{i}",
             )
             for i in range(c.num_layers)
@@ -229,9 +237,9 @@ class FiLMDenoiser(nn.Module):
                 h,
                 memory,
                 t_vec,
+                deterministic,
                 memory2=pose_tokens,
                 rotary=self.rotary if c.use_rotary else None,
-                deterministic=deterministic,
             )
         out = self.final_layer(h)
 

@@ -32,11 +32,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _spread_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """Interleave zeros between the low 16 bits (Morton helper)."""
+    x = x & 0xFFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def morton_order(
+    pix_verts: jnp.ndarray, faces: jnp.ndarray, height: int, width: int
+) -> jnp.ndarray:
+    """[B, F] permutation sorting faces by centroid Morton code — consecutive
+    faces become spatially clustered so the kernel's chunk-level bbox cull
+    skips most chunks per tile."""
+    cent = pix_verts[:, faces].mean(axis=2)  # [B, F, 2]
+    qx = jnp.clip(cent[..., 0] / max(width, 1) * 1024, 0, 1023).astype(jnp.int32)
+    qy = jnp.clip(cent[..., 1] / max(height, 1) * 1024, 0, 1023).astype(jnp.int32)
+    code = _spread_bits(qx) | (_spread_bits(qy) << 1)
+    return jnp.argsort(code, axis=-1)
+
+
 def pack_triangles(
     pix_verts: jnp.ndarray,  # [B, V, 2]
     depth: jnp.ndarray,  # [B, V]
     faces: jnp.ndarray,  # [F, 3]
     chunk: int,
+    perm: jnp.ndarray = None,  # [B, F] optional face ordering
 ) -> jnp.ndarray:
     """→ [B, F_pad, 12]: xa ya xb yb xc yc za zb zc valid pad pad."""
     tri = pix_verts[:, faces]  # [B, F, 3, 2]
@@ -45,6 +69,8 @@ def pack_triangles(
     data = jnp.concatenate(
         [tri.reshape(B, F, 6), tz, jnp.ones((B, F, 1)), jnp.zeros((B, F, 2))], axis=-1
     )
+    if perm is not None:
+        data = data[jnp.arange(B)[:, None], perm]
     pad = (-F) % chunk
     if pad:
         data = jnp.pad(data, ((0, 0), (0, pad), (0, 0)))
@@ -60,50 +86,73 @@ def _raster_kernel(
     xs = (j * tw + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)).astype(jnp.float32)
 
     n_chunks = n_faces_pad // chunk
+    tile_x0 = (j * tw).astype(jnp.float32) - 0.5
+    tile_x1 = (j * tw + tw).astype(jnp.float32) + 0.5
+    tile_y0 = (i * th).astype(jnp.float32) - 0.5
+    tile_y1 = (i * th + th).astype(jnp.float32) + 0.5
 
     def body(c, carry):
         best_z, best_f, b0, b1, b2 = carry
         tri = tri_ref[pl.ds(c * chunk, chunk), :]  # [CHUNK, 12]
-        xa = tri[:, 0][:, None, None]
-        ya = tri[:, 1][:, None, None]
-        xb = tri[:, 2][:, None, None]
-        yb = tri[:, 3][:, None, None]
-        xc = tri[:, 4][:, None, None]
-        yc = tri[:, 5][:, None, None]
-        za = tri[:, 6][:, None, None]
-        zb = tri[:, 7][:, None, None]
-        zc = tri[:, 8][:, None, None]
-        valid = tri[:, 9][:, None, None] > 0.5
-
-        det = (yb - yc) * (xa - xc) + (xc - xb) * (ya - yc)
-        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-        dx = xs[None] - xc
-        dy = ys[None] - yc
-        w0 = ((yb - yc) * dx + (xc - xb) * dy) * inv_det
-        w1 = ((yc - ya) * dx + (xa - xc) * dy) * inv_det
-        w2 = 1.0 - w0 - w1
-        z = w0 * za + w1 * zb + w2 * zc
-        inside = (
-            (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-            & (jnp.abs(det) > 1e-12) & valid & (z > 1e-6)
+        # chunk-level bbox cull: with Morton-ordered faces (pack_triangles)
+        # consecutive faces cluster spatially, so whole chunks usually miss
+        # the tile and the heavy barycentric math is skipped
+        cvalid = tri[:, 9] > 0.5
+        x_min = jnp.minimum(jnp.minimum(tri[:, 0], tri[:, 2]), tri[:, 4])
+        x_max = jnp.maximum(jnp.maximum(tri[:, 0], tri[:, 2]), tri[:, 4])
+        y_min = jnp.minimum(jnp.minimum(tri[:, 1], tri[:, 3]), tri[:, 5])
+        y_max = jnp.maximum(jnp.maximum(tri[:, 1], tri[:, 3]), tri[:, 5])
+        overlaps = (
+            (jnp.min(jnp.where(cvalid, x_min, jnp.inf)) <= tile_x1)
+            & (jnp.max(jnp.where(cvalid, x_max, -jnp.inf)) >= tile_x0)
+            & (jnp.min(jnp.where(cvalid, y_min, jnp.inf)) <= tile_y1)
+            & (jnp.max(jnp.where(cvalid, y_max, -jnp.inf)) >= tile_y0)
         )
-        z = jnp.where(inside, z, jnp.inf)  # [CHUNK, TH, TW]
 
-        zmin = jnp.min(z, axis=0)
-        amin = jnp.argmin(z, axis=0)  # [TH, TW]
-        take = zmin < best_z
-        # gather the winning barycentrics via one-hot (argmin-gather along
-        # the chunk axis is not natively supported)
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, z.shape, 0) == amin[None]
-        ).astype(jnp.float32)
-        sel = lambda w: jnp.sum(jnp.where(jnp.isfinite(z), w, 0.0) * onehot, axis=0)
-        best_f = jnp.where(take, c * chunk + amin, best_f)
-        b0 = jnp.where(take, sel(w0), b0)
-        b1 = jnp.where(take, sel(w1), b1)
-        b2 = jnp.where(take, sel(w2), b2)
-        best_z = jnp.minimum(best_z, zmin)
-        return best_z, best_f, b0, b1, b2
+        def compute(carry):
+            best_z, best_f, b0, b1, b2 = carry
+            xa = tri[:, 0][:, None, None]
+            ya = tri[:, 1][:, None, None]
+            xb = tri[:, 2][:, None, None]
+            yb = tri[:, 3][:, None, None]
+            xc = tri[:, 4][:, None, None]
+            yc = tri[:, 5][:, None, None]
+            za = tri[:, 6][:, None, None]
+            zb = tri[:, 7][:, None, None]
+            zc = tri[:, 8][:, None, None]
+            valid = tri[:, 9][:, None, None] > 0.5
+
+            det = (yb - yc) * (xa - xc) + (xc - xb) * (ya - yc)
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            dx = xs[None] - xc
+            dy = ys[None] - yc
+            w0 = ((yb - yc) * dx + (xc - xb) * dy) * inv_det
+            w1 = ((yc - ya) * dx + (xa - xc) * dy) * inv_det
+            w2 = 1.0 - w0 - w1
+            z = w0 * za + w1 * zb + w2 * zc
+            inside = (
+                (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+                & (jnp.abs(det) > 1e-12) & valid & (z > 1e-6)
+            )
+            z = jnp.where(inside, z, jnp.inf)  # [CHUNK, TH, TW]
+
+            zmin = jnp.min(z, axis=0)
+            amin = jnp.argmin(z, axis=0)  # [TH, TW]
+            take = zmin < best_z
+            # gather the winning barycentrics via one-hot (argmin-gather along
+            # the chunk axis is not natively supported)
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, z.shape, 0) == amin[None]
+            ).astype(jnp.float32)
+            sel = lambda w: jnp.sum(jnp.where(jnp.isfinite(z), w, 0.0) * onehot, axis=0)
+            best_f = jnp.where(take, c * chunk + amin, best_f)
+            b0 = jnp.where(take, sel(w0), b0)
+            b1 = jnp.where(take, sel(w1), b1)
+            b2 = jnp.where(take, sel(w2), b2)
+            best_z = jnp.minimum(best_z, zmin)
+            return best_z, best_f, b0, b1, b2
+
+        return jax.lax.cond(overlaps, compute, lambda cr: cr, carry)
 
     init = (
         jnp.full((th, tw), jnp.inf, jnp.float32),
@@ -132,12 +181,14 @@ def rasterize_pallas(
     tile: Tuple[int, int] = (128, 128),
     chunk: int = 16,  # [chunk, th, tw] f32 temporaries must stay under ~16MB VMEM
     interpret: bool = False,
+    spatial_sort: bool = True,
 ):
     """→ (face_index [B, H, W], barys [B, H, W, 3], depth [B, H, W])."""
     th, tw = tile
     Hp = -(-height // th) * th
     Wp = -(-width // tw) * tw
-    tri = pack_triangles(pix_verts, depth, faces, chunk)
+    perm = morton_order(pix_verts, faces, height, width) if spatial_sort else None
+    tri = pack_triangles(pix_verts, depth, faces, chunk, perm)
     B, F_pad, _ = tri.shape
 
     kernel = functools.partial(
@@ -165,4 +216,9 @@ def rasterize_pallas(
 
     face, dep, b0, b1, b2 = jax.vmap(single)(tri)
     bary = jnp.stack([b0, b1, b2], axis=-1)
+    if perm is not None:
+        # kernel face ids index the sorted order — map back to caller ids
+        flat = jnp.maximum(face, 0).reshape(B, -1)
+        remapped = perm[jnp.arange(B)[:, None], flat].reshape(face.shape)
+        face = jnp.where(face >= 0, remapped.astype(jnp.int32), -1)
     return face[:, :height, :width], bary[:, :height, :width], dep[:, :height, :width]
