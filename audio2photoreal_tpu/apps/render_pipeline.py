@@ -51,6 +51,7 @@ class BodyRenderer:
                 params, motion, campos,
                 embs=jnp.zeros((motion.shape[0], cfg.n_embs)),
                 face_embs_body=face_embs,
+                K=K, Rt=Rt,
                 encode=False, use_pose_shadow=True, render=True,
             )
             return linear2display_batch(preds["rgb"])
@@ -83,6 +84,16 @@ class BodyRenderer:
             )
             frames.append(np.asarray(out, np.uint8))
         return np.concatenate(frames, 0)[:T]
+
+    def render_sequence_multicam(
+        self, pose: np.ndarray, face_embs_body: np.ndarray
+    ) -> np.ndarray:
+        """Side-by-side frames across all cameras — the reference renders two
+        views per frame (render_codes.py:115-126)."""
+        views = [
+            self.render_sequence(pose, face_embs_body, name) for name in self.cameras
+        ]
+        return np.concatenate(views, axis=2)  # stack along width
 
     def render_full_video(
         self,

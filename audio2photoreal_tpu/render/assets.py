@@ -107,6 +107,37 @@ def make_synthetic_assets(cfg: RendererConfig, seed: int = 0) -> RendererAssets:
     )
 
 
+def load_render_defaults(path: str):
+    """Convert the reference's ``assets/render_defaults_<person>.pth``
+    (default camera calibration fed to BodyRenderer, render_codes.py:89)
+    into Camera objects for apps/render_pipeline."""
+    import torch
+
+    from audio2photoreal_tpu.apps.render_pipeline import Camera
+
+    d = torch.load(path, map_location="cpu", weights_only=False)
+    cams = {}
+    # contract: dict with K/Rt/campos arrays, possibly per-camera sub-dicts
+    def mk(entry):
+        K = np.asarray(entry["K"], np.float32).reshape(3, 3)
+        Rt = np.asarray(entry["Rt"], np.float32).reshape(3, 4)
+        campos = entry.get("campos")
+        if campos is None:
+            R, t = Rt[:, :3], Rt[:, 3]
+            campos = (-R.T @ t).astype(np.float32)
+        return Camera(campos=np.asarray(campos, np.float32).reshape(3), K=K, Rt=Rt)
+
+    if "K" in d:
+        cams["default"] = mk(d)
+    else:
+        for name, entry in d.items():
+            if isinstance(entry, dict) and "K" in entry:
+                cams[str(name)] = mk(entry)
+    if not cams:
+        raise ValueError(f"no camera entries found in {path}")
+    return cams
+
+
 def convert_static_assets(
     static_assets_path: str, cfg: Optional[RendererConfig] = None
 ) -> RendererAssets:

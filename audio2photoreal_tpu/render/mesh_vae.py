@@ -282,6 +282,16 @@ class BodyAvatar(nn.Module):
             out_channels=3, n_ftrs=16, size=c.uv_size, name="upscale_net"
         )
 
+    def face_codes_to_body_embs(self, face_embs_hqlp: jnp.ndarray) -> jnp.ndarray:
+        """HQLP face codes → body-space face embeddings via the frozen face
+        decoder + face encoder (the translation the renderer applies to the
+        diffusion model's 256-d outputs, render_codes.py:107-114 +
+        mesh_vae_drivable.py:265-267)."""
+        face_dec = self.decoder_face(face_embs_hqlp)
+        face_dec = jax.tree_util.tree_map(jax.lax.stop_gradient, face_dec)
+        enc = self.encoder_face(face_dec["face_geom"], face_dec["face_tex"])
+        return enc["face_embs"]
+
     def encode(self, geom, lbs_motion, face_embs_hqlp, noise_key=None):
         """(posed geometry, pose, HQLP face codes) → embeddings (:254-274)."""
         verts_unposed = jax.lax.stop_gradient(self.assets.lbs.unpose(geom, lbs_motion))

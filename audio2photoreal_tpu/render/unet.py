@@ -10,7 +10,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from audio2photoreal_tpu.render.layers import Conv2dWNUB, ConvTranspose2dWNUB
+from audio2photoreal_tpu.render.layers import Conv2dWNUB, ConvTranspose2dWNUB, resize_bilinear
 
 lrelu = lambda x: nn.leaky_relu(x, negative_slope=0.2)
 
@@ -38,4 +38,71 @@ class UNetWB(nn.Module):
         h = lrelu(ConvTranspose2dWNUB(F, S, S, 4, 2, 1, name="up5")(h))
         h = jnp.concatenate([h, x1], axis=-1)
         out = Conv2dWNUB(self.out_channels, S, S, 1, 1, 0, name="out")(h)
+        return out * self.out_scale
+
+
+class UNetWBConcat(nn.Module):
+    """UNetWB variant with CONCAT skip connections (reference:
+    visualize/ca_body/nn/unet.py:98-181)."""
+
+    out_channels: int
+    size: int
+    n_init_ftrs: int = 8
+    out_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        F = self.n_init_ftrs
+        S = self.size
+        x1 = x
+        x2 = lrelu(Conv2dWNUB(F, S // 2, S // 2, 4, 2, 1, name="down1")(x1))
+        x3 = lrelu(Conv2dWNUB(2 * F, S // 4, S // 4, 4, 2, 1, name="down2")(x2))
+        x4 = lrelu(Conv2dWNUB(4 * F, S // 8, S // 8, 4, 2, 1, name="down3")(x3))
+        x5 = lrelu(Conv2dWNUB(8 * F, S // 16, S // 16, 4, 2, 1, name="down4")(x4))
+        x6 = lrelu(Conv2dWNUB(16 * F, S // 32, S // 32, 4, 2, 1, name="down5")(x5))
+        h = lrelu(ConvTranspose2dWNUB(8 * F, S // 16, S // 16, 4, 2, 1, name="up1")(x6))
+        h = lrelu(ConvTranspose2dWNUB(4 * F, S // 8, S // 8, 4, 2, 1, name="up2")(
+            jnp.concatenate([h, x5], -1)))
+        h = lrelu(ConvTranspose2dWNUB(2 * F, S // 4, S // 4, 4, 2, 1, name="up3")(
+            jnp.concatenate([h, x4], -1)))
+        h = lrelu(ConvTranspose2dWNUB(F, S // 2, S // 2, 4, 2, 1, name="up4")(
+            jnp.concatenate([h, x3], -1)))
+        h = lrelu(ConvTranspose2dWNUB(F, S, S, 4, 2, 1, name="up5")(
+            jnp.concatenate([h, x2], -1)))
+        h = jnp.concatenate([h, x1], axis=-1)
+        out = Conv2dWNUB(self.out_channels, S, S, 1, 1, 0, name="out")(h)
+        return out * self.out_scale
+
+
+class UNetW(nn.Module):
+    """Weight-norm UNet WITHOUT untied biases (reference: unet.py:182-254) —
+    lighter variant for tied-bias checkpoints."""
+
+    out_channels: int
+    size: int
+    n_init_ftrs: int = 8
+    out_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from audio2photoreal_tpu.render.layers import Conv2dWN
+
+        F = self.n_init_ftrs
+        x1 = x
+        acts = [x1]
+        h = x1
+        for i, c in enumerate([F, 2 * F, 4 * F, 8 * F, 16 * F]):
+            h = lrelu(Conv2dWN(c, 4, 2, 1, name=f"down{i+1}")(h))
+            acts.append(h)
+        for i, c in enumerate([8 * F, 4 * F, 2 * F, F, F]):
+            from audio2photoreal_tpu.render.layers import _conv_transpose
+
+            # transpose conv without untied bias: reuse the WNUB layer's math
+            # via a Conv after bilinear upsample (bias tied)
+            h = resize_bilinear(h, (h.shape[1] * 2, h.shape[2] * 2))
+            h = lrelu(Conv2dWN(c, 3, 1, 1, name=f"up{i+1}")(h))
+            if i < 4:
+                h = h + acts[4 - i]
+        h = jnp.concatenate([h, x1], axis=-1)
+        out = Conv2dWN(self.out_channels, 1, 1, 0, name="out")(h)
         return out * self.out_scale
