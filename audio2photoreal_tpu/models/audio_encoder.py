@@ -142,6 +142,105 @@ class Wav2VecFeatureExtractor(nn.Module):
         return jnp.concatenate(feats, axis=-1)  # [B, T_a, 1024]
 
 
+class Wav2VecDownsampler(nn.Module):
+    """100 Hz wav2vec features → target frame rate (reference:
+    audio_encoder.py:48-74): causal conv → interp halfway → causal conv →
+    interp to target → LayerNorm."""
+
+    dim: int = 512
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, target_length: int) -> jnp.ndarray:
+        from audio2photoreal_tpu.ops.convs import causal_conv1d
+
+        k1 = self.param("conv1_kernel", nn.initializers.lecun_normal(), (3, x.shape[-1], self.dim))
+        b1 = self.param("conv1_bias", nn.initializers.zeros, (self.dim,))
+        k2 = self.param("conv2_kernel", nn.initializers.lecun_normal(), (3, self.dim, self.dim))
+        b2 = self.param("conv2_bias", nn.initializers.zeros, (self.dim,))
+
+        def interp_to(x, n):
+            # linear interpolation along time (F.interpolate default)
+            B, T, C = x.shape
+            pos = (jnp.arange(n) + 0.5) * T / n - 0.5
+            i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, T - 1)
+            i1 = jnp.clip(i0 + 1, 0, T - 1)
+            w = (pos - i0)[None, :, None]
+            return jnp.take(x, i0, axis=1) * (1 - w) + jnp.take(x, i1, axis=1) * w
+
+        x = nn.relu(causal_conv1d(x, k1, b1))
+        x = interp_to(x, (x.shape[1] + target_length) // 2)
+        x = causal_conv1d(x, k2, b2)
+        x = interp_to(x, target_length)
+        return nn.LayerNorm(name="norm")(x)
+
+
+class AudioTcn(nn.Module):
+    """Melspec + wav2vec → dilated TCN audio encoding (reference:
+    audio_encoder.py:78-194, receptive field 25)."""
+
+    encoding_dim: int = 128
+    use_melspec: bool = True
+    use_wav2vec: bool = True
+
+    @nn.compact
+    def __call__(self, audio_frames: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """[B, T, 1600] 48 kHz frames → [B, T, encoding_dim]."""
+        from audio2photoreal_tpu.ops.convs import conv1d
+        from audio2photoreal_tpu.ops.melspec import melspectrogram
+
+        B, T, _ = audio_frames.shape
+        wav = audio_frames.reshape(B, -1)
+        feats = []
+        if self.use_melspec:
+            wav24 = resample(wav, 48_000, 24_000)
+            mel = melspectrogram(wav24)[:, :, 1:]  # drop frame 0 (audio_encoder.py:163)
+            mel = jnp.log(jnp.clip(mel, 1e-10, None))
+            # 2 mel frames per visual frame → [B, T, 160]
+            mel = mel.transpose(0, 2, 1)[:, : 2 * T].reshape(B, T, 160)
+            feats.append(mel)
+        if self.use_wav2vec:
+            wav16 = resample(wav, 48_000, WAV2VEC_SR)
+            z = ConvFeatureExtractor(name="wav2vec_extractor")(wav16)
+            c = ConvAggregator(name="wav2vec_aggregator")(z)
+            c = jax.lax.stop_gradient(c)
+            kpp = self.param("w2v_post_kernel", nn.initializers.lecun_normal(), (3, c.shape[-1], 256))
+            bpp = self.param("w2v_post_bias", nn.initializers.zeros, (256,))
+            from audio2photoreal_tpu.ops.convs import causal_conv1d
+
+            c = causal_conv1d(c, kpp, bpp)
+            # linear interp (align_corners) to T frames
+            Tf = c.shape[1]
+            pos = jnp.linspace(0.0, Tf - 1.0, T)
+            i0 = jnp.floor(pos).astype(jnp.int32)
+            i1 = jnp.minimum(i0 + 1, Tf - 1)
+            w = (pos - i0)[None, :, None]
+            c = jnp.take(c, i0, axis=1) * (1 - w) + jnp.take(c, i1, axis=1) * w
+            feats.append(c)
+        x = jnp.concatenate(feats, axis=-1)
+
+        # causal dilated TCN, receptive field 25, averaged skip connections
+        rf = 25
+        x = jnp.pad(x, ((0, 0), (rf - 1, 0), (0, 0)))
+        e = self.encoding_dim
+        cin = x.shape[-1]
+        specs = [
+            (cin, max(256, e), 1), (max(256, e), e, 2), (e, e, 3),
+            (e, e, 1), (e, e, 2), (e, e, 3),
+        ]
+        for i, (ci, co, d) in enumerate(specs):
+            k = self.param(f"tcn{i}_kernel", nn.initializers.lecun_normal(), (3, ci, co))
+            b = self.param(f"tcn{i}_bias", nn.initializers.zeros, (co,))
+            y = conv1d(x, k, b, dilation=d, padding=(0, 0))
+            y = nn.leaky_relu(y, negative_slope=0.2)
+            if not deterministic:
+                keep = jax.random.bernoulli(self.make_rng("dropout"), 0.8, y.shape)
+                y = y * keep / 0.8
+            x = (x[:, -y.shape[1]:, :] + y) / 2.0 if x.shape[-1] == y.shape[-1] else y
+        kf = self.param("final_kernel", nn.initializers.lecun_normal(), (1, e, e))
+        bf = self.param("final_bias", nn.initializers.zeros, (e,))
+        return conv1d(x, kf, bf, padding=(0, 0))
+
+
 class Wav2VecEncoder(nn.Module):
     """wav2vec_large extractor+aggregator (reference: audio_encoder.py:24-76):
     mono frames [B, T, 1600] @48k → [B, T, 512], via 16 kHz features at
