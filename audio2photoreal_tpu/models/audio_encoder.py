@@ -128,17 +128,41 @@ class Wav2VecFeatureExtractor(nn.Module):
     [B, S, 2] raw 48 kHz stereo → [B, T_a, 1024]: resample each channel to
     16 kHz, run the frozen conv extractor, concat channel features
     (reference: model/diffusion.py:285-293, model/guide.py:121-129).
+
+    Large training batches stream through the extractor in ``batch_chunk``
+    slices under ``lax.map`` — the early conv feature maps are ~130 MB per
+    sample per channel and would otherwise OOM HBM at batch 64 (the encoder
+    is frozen, so no backward buffers are needed and the peak is
+    chunk-bounded).
     """
 
     input_sr: int = 48_000
+    batch_chunk: int = 8
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:
         extractor = ConvFeatureExtractor(name="feature_extractor")
+        B = audio.shape[0]
+        chunked = B > self.batch_chunk and B % self.batch_chunk == 0
+
+        if chunked:
+            scan = nn.scan(
+                lambda mdl, carry, wav: (carry, mdl(wav)),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+            )
+
         feats = []
         for ch in range(2):
             wav = resample(audio[..., ch], self.input_sr, WAV2VEC_SR)
-            feats.append(extractor(wav))
+            if chunked:
+                chunks = wav.reshape(B // self.batch_chunk, self.batch_chunk, -1)
+                _, f = scan(extractor, None, chunks)
+                feats.append(f.reshape(B, *f.shape[2:]))
+            else:
+                feats.append(extractor(wav))
         return jnp.concatenate(feats, axis=-1)  # [B, T_a, 1024]
 
 

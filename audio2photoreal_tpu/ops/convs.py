@@ -84,19 +84,23 @@ def strided_conv_as_matmul(
     """
     K, Cin, Cout = kernel.shape
     assert K % stride == 0, (K, stride)
-    r = K // stride  # frames per window
+    r = K // stride  # stride-frames per window
     B, T, _ = x.shape
     n_blocks = T // stride
     xb = x[:, : n_blocks * stride].reshape(B, n_blocks, stride * Cin)
     n_out = n_blocks - r + 1
-    # windows[t] = blocks[t : t+r] concatenated
-    win = jnp.concatenate([xb[:, i : i + n_out] for i in range(r)], axis=-1)  # [B, n_out, K·Cin]
-    w = kernel.reshape(K * Cin, Cout)
-    out = jnp.einsum("btk,ko->bto", win, w, preferred_element_type=jnp.float32)
-    # valid-conv output length check: (T - K)//stride + 1 — equal to n_out
-    # whenever stride divides T, else one extra window is dropped upstream
-    expected = (T - K) // stride + 1
-    out = out[:, :expected]
+    # y[t] = Σ_i blocks[t+i] @ W_i — r sliced matmuls instead of one matmul
+    # over a materialized [B, n_out, K·Cin] window tensor (which costs
+    # r× the input in HBM and OOMs large training batches)
+    w = kernel.reshape(r, stride * Cin, Cout)
+    out = jnp.einsum(
+        "btk,ko->bto", xb[:, :n_out], w[0], preferred_element_type=jnp.float32
+    )
+    for i in range(1, r):
+        out = out + jnp.einsum(
+            "btk,ko->bto", xb[:, i : i + n_out], w[i], preferred_element_type=jnp.float32
+        )
+    # valid-conv output length: (T − K)//stride + 1 == n_out always (K = r·s)
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)

@@ -14,17 +14,36 @@ biases [H, W, Cout].  ConvTranspose matches torch semantics
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+# Renderer-wide compute dtype (params stay f32; weight-norm is computed in
+# f32 then cast).  Set via `render_compute_dtype(jnp.bfloat16)` around the
+# model apply — bf16 roughly doubles the conv decoders' MXU throughput.
+_COMPUTE_DTYPE = [jnp.float32]
+
+
+@contextlib.contextmanager
+def render_compute_dtype(dtype):
+    _COMPUTE_DTYPE.append(dtype)
+    try:
+        yield
+    finally:
+        _COMPUTE_DTYPE.pop()
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE[-1]
+
 
 def _wn_kernel(v: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     """w = g · v/‖v‖ with the norm over all dims but Cout (g_dim=0 in torch)."""
     norm = jnp.sqrt((v**2).sum(axis=(0, 1, 2), keepdims=True) + 1e-12)
-    return v * (g.reshape(1, 1, 1, -1) / norm)
+    return (v * (g.reshape(1, 1, 1, -1) / norm)).astype(compute_dtype())
 
 
 class LinearWN(nn.Module):
@@ -37,8 +56,9 @@ class LinearWN(nn.Module):
         g = self.param("g", nn.initializers.ones, (self.features,))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         norm = jnp.sqrt((v**2).sum(axis=0, keepdims=True) + 1e-12)
-        w = v * (g[None] / norm)
-        return x @ w + b
+        cd = compute_dtype()
+        w = (v * (g[None] / norm)).astype(cd)
+        return x.astype(cd) @ w + b.astype(cd)
 
 
 class Conv2dWN(nn.Module):
@@ -59,13 +79,13 @@ class Conv2dWN(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         w = _wn_kernel(v, g)
         out = jax.lax.conv_general_dilated(
-            x, w,
+            x.astype(w.dtype), w,
             window_strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
         )
-        return out + b
+        return out + b.astype(w.dtype)
 
 
 class Conv2dWNUB(nn.Module):
@@ -93,13 +113,13 @@ class Conv2dWNUB(nn.Module):
         )
         w = _wn_kernel(v, g)
         out = jax.lax.conv_general_dilated(
-            x, w,
+            x.astype(w.dtype), w,
             window_strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
         )
-        return out + bias[None]
+        return out + bias[None].astype(w.dtype)
 
 
 def _conv_transpose(x, w, stride: int, padding: int):
@@ -136,9 +156,10 @@ class ConvTranspose2dWNUB(nn.Module):
             "bias", nn.initializers.zeros, (self.height, self.width, self.features)
         )
         norm = jnp.sqrt((v**2).sum(axis=(0, 1, 3), keepdims=True) + 1e-12)
-        w = v * (g.reshape(1, 1, -1, 1) / norm)
-        out = _conv_transpose(x, w, self.stride, self.padding)
-        return out + bias[None]
+        cd = compute_dtype()
+        w = (v * (g.reshape(1, 1, -1, 1) / norm)).astype(cd)
+        out = _conv_transpose(x.astype(cd), w, self.stride, self.padding)
+        return out + bias[None].astype(cd)
 
 
 def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int], align_corners: bool = False) -> jnp.ndarray:

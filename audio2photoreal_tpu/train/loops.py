@@ -76,14 +76,23 @@ def make_diffusion_train_step(
             return loss, terms
 
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(grads)
+        # non-finite guard: skip the update instead of poisoning the params —
+        # the role of the reference's fp16 NaN backoff (fp16_util.py:206-211)
+        # and ca_body's NaN hard stop (ca_body/utils/train.py:178-184)
+        grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        new_state = state.apply_gradients(grads)
         if ema_decay > 0:
-            state = update_ema(state, ema_decay)
+            new_state = update_ema(new_state, ema_decay)
+        state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), new_state, state
+        )
         metrics = {
             "loss": loss,
             "mse": terms["mse"].mean(),
             "vb": terms["vb"].mean(),
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": grad_norm,
+            "skipped_nonfinite": (~finite).astype(jnp.float32),
         }
         # loss-quartile logging by timestep bucket (training_loop.py:282-288)
         quartile = (4 * t) // schedule.num_timesteps

@@ -101,3 +101,20 @@ def test_avatar_pose_changes_geometry(avatar):
                      face_embs=b["face_embs"], encode=True, render=False)
     delta = float(jnp.abs(p0["geom"] - p1["geom"]).max())
     assert delta > 0.01
+
+
+def test_bf16_render_close_to_f32(avatar):
+    """bf16 compute policy deviates <2% of the dynamic range from f32."""
+    import jax.numpy as jnp
+    from audio2photoreal_tpu.render.layers import render_compute_dtype
+
+    model, params, b = avatar
+    f32 = model.apply(params, b["motion"], b["campos"], geom=b["geom"],
+                      face_embs=b["face_embs"], render=False)
+    with render_compute_dtype(jnp.bfloat16):
+        bf16 = model.apply(params, b["motion"], b["campos"], geom=b["geom"],
+                           face_embs=b["face_embs"], render=False)
+    a = np.asarray(f32["tex_rec"], np.float32)
+    c = np.asarray(bf16["tex_rec"], np.float32)
+    rng = max(a.max() - a.min(), 1e-6)
+    assert np.abs(a - c).max() / rng < 0.02

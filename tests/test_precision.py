@@ -68,3 +68,23 @@ def test_remat_matches_no_remat():
 
     g = jax.grad(loss)(p1)
     assert np.isfinite(float(jax.tree_util.tree_leaves(g)[0].sum()))
+
+
+def test_nonfinite_grad_skips_update():
+    """NaN batch → update skipped, params unchanged (fp16_util backoff role)."""
+    model, params, batch = _setup("float32")
+    sched = make_schedule("cosine", 100)
+    state = create_train_state(params, TrainConfig(lr=1e-2))
+    step = jax.jit(make_diffusion_train_step(model, sched, DiffusionConfig()))
+    bad = dict(batch)
+    bad["motion"] = batch["motion"].at[0, 0, 0].set(jnp.nan)
+    new_state, m = step(state, bad, jax.random.PRNGKey(0))
+    assert float(m["skipped_nonfinite"]) == 1.0
+    l0 = jax.tree_util.tree_leaves(state.params)[0]
+    l1 = jax.tree_util.tree_leaves(new_state.params)[0]
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    assert int(new_state.step) == int(state.step)
+    # and a good batch still updates
+    ok_state, m2 = step(state, batch, jax.random.PRNGKey(1))
+    assert float(m2["skipped_nonfinite"]) == 0.0
+    assert int(ok_state.step) == int(state.step) + 1

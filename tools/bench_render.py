@@ -53,11 +53,14 @@ def main(frame_batch: int = 4, n_runs: int = 5, image=(1024, 704)):
         )
     )(jax.random.PRNGKey(0))
 
+    from audio2photoreal_tpu.render.layers import render_compute_dtype
+
     def render(p, motion, campos, K, Rt, embs, face_embs):
-        return model.apply(
-            p, motion, campos, embs=embs, face_embs_body=face_embs,
-            encode=False, render=True, K=K, Rt=Rt,
-        )["rgb"]
+        with render_compute_dtype(jnp.bfloat16):
+            return model.apply(
+                p, motion, campos, embs=embs, face_embs_body=face_embs,
+                encode=False, render=True, K=K, Rt=Rt,
+            )["rgb"]
 
     print("compile render", file=sys.stderr, flush=True)
     rc = jax.jit(render)

@@ -1,0 +1,70 @@
+"""Training-throughput benchmark on the real chip.
+
+Measures the flagship pose-denoiser train step (forward+backward+AdamW,
+bf16 compute / f32 params) at the reference's default batch 64 and the
+600-frame window (reference trains at lr 1e-4 bs 64 on one GPU,
+utils/diff_parser_utils.py:188,208-212) — the number that sets wall-clock for
+the 800k-step schedule.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio2photoreal_tpu.core.config import DenoiserConfig, DiffusionConfig, TrainConfig
+from audio2photoreal_tpu.diffusion.schedules import make_schedule
+from audio2photoreal_tpu.models.film_transformer import FiLMDenoiser
+from audio2photoreal_tpu.train.loops import make_diffusion_train_step
+from audio2photoreal_tpu.train.state import create_train_state
+
+
+def main(B=64, T=600, n_steps=10):
+    cfg = DenoiserConfig(
+        data_format="pose", nfeats=104, latent_dim=256, ff_size=1024,
+        num_layers=8, num_heads=4, max_seq_length=T, dtype="bfloat16",
+        remat=True,  # bs64×600 frames needs rematerialization on 16G HBM
+    )
+    model = FiLMDenoiser(cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "motion": jnp.asarray(rng.randn(B, T, 104).astype(np.float32)),
+        "mask": jnp.ones((B, T)),
+        "audio": jnp.asarray(rng.randn(B, T * 1600, 2).astype(np.float32) * 0.1),
+        "keyframes": jnp.asarray(rng.randn(B, T // 30, 104).astype(np.float32)),
+        "keyframe_valid": jnp.ones((B, T // 30)),
+    }
+    print("init", file=sys.stderr, flush=True)
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "cond_drop": jax.random.PRNGKey(1)},
+        batch["motion"], jnp.zeros((B,), jnp.int32), batch["audio"],
+        batch["keyframes"], batch["keyframe_valid"],
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"params: {n_params/1e6:.1f}M", file=sys.stderr, flush=True)
+    state = create_train_state(params, TrainConfig(lr=1e-4))
+    step = jax.jit(make_diffusion_train_step(model, make_schedule("cosine", 1000), DiffusionConfig()))
+    print("compile train step", file=sys.stderr, flush=True)
+    state, m = step(state, batch, jax.random.PRNGKey(2))
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, m = step(state, batch, jax.random.PRNGKey(3 + i))
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / n_steps
+    print(
+        json.dumps(
+            {"metric": "train_steps_per_sec_pose_bs64_T600", "value": round(1 / dt, 3),
+             "unit": "steps_per_sec", "vs_baseline": round((1 / dt) * 3600 * 24 / 800_000, 2),
+             "note": "vs_baseline = 800k-step schedules completable per day"}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
