@@ -188,3 +188,56 @@ def test_normal_kl_golden():
     z = jnp.zeros(())
     assert float(losses.normal_kl(z, z, z, z)) == pytest.approx(0.0)
     assert float(losses.normal_kl(jnp.ones(()), z, z, z)) == pytest.approx(0.5)
+
+
+def test_ddim_reverse_roundtrip():
+    """Deterministic DDIM encode (x_t → x_{t+1}) inverts the forward DDIM step
+    under an oracle x0 model."""
+    from audio2photoreal_tpu.diffusion.sampling import ddim_reverse_step
+
+    s = make_schedule("cosine", 100)
+    x0 = jax.random.normal(jax.random.PRNGKey(20), (1, 6, 3))
+
+    def oracle(x, t):
+        return jnp.broadcast_to(x0, x.shape)
+
+    # start at a mid state consistent with x0
+    t = jnp.array([50])
+    eps = jax.random.normal(jax.random.PRNGKey(21), x0.shape)
+    xt = gaussian.q_sample(s, x0, t, eps)
+    # reverse: t → t+1 with the oracle's x0 prediction
+    x_next = ddim_reverse_step(s, "xstart", oracle(xt, t), xt, t)
+    # forward DDIM step (eta=0) from t+1 must return to xt
+    t1 = jnp.array([51])
+    x0p = oracle(x_next, t1)
+    epsp = gaussian.predict_eps_from_x0(s, x_next, t1, x0p)
+    from audio2photoreal_tpu.diffusion.schedules import extract
+
+    abar_prev = extract(s.alphas_cumprod_prev, t1, xt.ndim)
+    back = x0p * jnp.sqrt(abar_prev) + jnp.sqrt(1 - abar_prev) * epsp
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xt), atol=1e-4)
+
+
+def test_respace_sections_mode():
+    """Comma-separated section counts (respace.py non-ddim mode)."""
+    kept = space_timesteps(100, "10,10,10")
+    assert len(kept) == 30
+    assert 0 in kept
+    r = respaced_schedule("linear", 100, "10,10,10")
+    assert r.num_timesteps == 30
+    assert int(r.timestep_map[0]) == 0
+
+
+def test_classifier_guidance_hooks():
+    """condition_mean shifts by Σ·grad; condition_score re-estimates x0."""
+    s = make_schedule("cosine", 100)
+    x0 = jax.random.normal(jax.random.PRNGKey(22), (1, 4, 2))
+    t = jnp.array([30])
+    eps = jax.random.normal(jax.random.PRNGKey(23), x0.shape)
+    xt = gaussian.q_sample(s, x0, t, eps)
+    grad = jnp.ones_like(x0) * 0.1
+    mean, var, _ = gaussian.q_posterior_mean_variance(s, x0, xt, t)
+    shifted = gaussian.condition_mean(mean, var, grad)
+    np.testing.assert_allclose(np.asarray(shifted - mean), np.asarray(var * grad), atol=1e-6)
+    x0_new = gaussian.condition_score(s, xt, t, x0, grad)
+    assert not np.allclose(np.asarray(x0_new), np.asarray(x0))
