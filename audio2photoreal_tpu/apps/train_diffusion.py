@@ -86,10 +86,18 @@ def train(
             {"params": state.params, "opt_state": state.opt_state, "step": state.step}
         )})
 
-    # resume
+    # resume — restore INTO the fresh state's structure so optax NamedTuple
+    # opt-states (and dtypes) survive the orbax round-trip
     last = checkpoints.latest_step(ckpt_dir)
     if last is not None:
-        restored = checkpoints.restore(ckpt_dir, None, last)
+        target = {
+            "state": {
+                "params": jax.device_get(state.params),
+                "opt_state": jax.device_get(state.opt_state),
+                "step": np.zeros((), np.int32),
+            }
+        }
+        restored = checkpoints.restore(ckpt_dir, target, last)
         state = state.replace(
             params=restored["state"]["params"],
             opt_state=restored["state"]["opt_state"],
