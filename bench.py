@@ -23,6 +23,11 @@ import sys
 import time
 
 import jax
+
+# persistent compile cache: repeat runs (and other tools in this session)
+# reuse the ~8-minute cold compile
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 
