@@ -166,8 +166,18 @@ def convert_film_denoiser(sd: Dict[str, Any], data_format: str, num_layers: int,
     return {"params": p}
 
 
-def convert_guide(sd: Dict[str, Any], num_layers: int, num_audio_layers: int = 2) -> Dict[str, Any]:
-    """GuideTransformer state_dict → params tree."""
+def convert_guide(
+    sd: Dict[str, Any],
+    num_layers: int,
+    num_audio_layers: int = 2,
+    null_embed_len: int = 2048,
+) -> Dict[str, Any]:
+    """GuideTransformer state_dict → params tree.
+
+    The reference sizes null_cond_embed to a hardcoded audio length (798 for
+    240-frame clips, 1998 for 600; model/guide.py:38,55); this framework keeps
+    a ``null_embed_len`` buffer sliced at call time, so the torch rows are
+    zero-padded up to it (the slice only ever reads the trained rows)."""
     p: Dict[str, Any] = {}
     p["token_embedding"] = {"embedding": _t(sd, "token_embedding.weight")}
     p["cond_projection"] = linear(sd, "cond_projection")
@@ -175,7 +185,10 @@ def convert_guide(sd: Dict[str, Any], num_layers: int, num_audio_layers: int = 2
     p["non_attn_norm"] = layernorm(sd, "non_attn_cond_projection.0")
     p["non_attn_d1"] = linear(sd, "non_attn_cond_projection.1")
     p["non_attn_d2"] = linear(sd, "non_attn_cond_projection.3")
-    p["null_cond_embed"] = _t(sd, "null_cond_embed")
+    null = _t(sd, "null_cond_embed")
+    if null.shape[1] < null_embed_len:
+        null = np.pad(null, ((0, 0), (0, null_embed_len - null.shape[1]), (0, 0)))
+    p["null_cond_embed"] = null
     p["null_cond_hidden"] = _t(sd, "null_cond_hidden")
     # pre_audio Sequential: per block 6 convs at indices 0,3,6,9,12,15 (+LReLU,
     # Dropout between), final 1×1 at the end (guide.py:84-118)
