@@ -59,17 +59,24 @@ class DemoPipeline:
         data_root: str,
         person: str = "PXB184",
         timestep_respacing: str = "ddim100",
+        renderer_path: Optional[str] = None,
     ):
         self.stats = find_stats(os.path.join(data_root, person))
+        # must be set before _load(): the schedule respacing is read there
+        self.respacing = timestep_respacing
         self.face = self._load(face_model_path)
         self.pose = self._load(pose_model_path)
+        self.renderer = None
+        if renderer_path:
+            from audio2photoreal_tpu.apps.render_pipeline import load_body_renderer
+
+            self.renderer = load_body_renderer(renderer_path)
         pcfgs = load_config(pose_model_path)
         self.keyframer: Optional[GuideKeyframer] = None
         guide_dir = os.path.join(pose_model_path, "guide")
         vq_dir = os.path.join(pose_model_path, "vq")
         if os.path.isdir(guide_dir) and os.path.isdir(vq_dir):
             self.keyframer = GuideKeyframer(guide_dir, vq_dir)
-        self.respacing = timestep_respacing
 
     def _load(self, path):
         cfgs = load_config(path)
@@ -79,7 +86,6 @@ class DemoPipeline:
         params = state["params"]
         sched = maybe_respaced(
             cfgs["diffusion"].schedule, cfgs["diffusion"].steps, self.respacing
-            if hasattr(self, "respacing") else "ddim100",
         )
         return {"model": model, "params": params, "cfgs": cfgs, "sched": sched}
 
@@ -138,6 +144,20 @@ class DemoPipeline:
             "audio": audio,
         }
 
+    def render_video(self, result: Dict[str, np.ndarray], out_path: str) -> str:
+        """Photoreal video from a generate() result — the reference demo's
+        final stage (demo/demo.py:219-235 renders the generated face + pose
+        through BodyRenderer)."""
+        assert self.renderer is not None, "DemoPipeline built without renderer_path"
+        return self.renderer.render_full_video(
+            {
+                "body_motion": result["pose"],
+                "face_motion": result["face"],
+                "audio": result["audio"],
+            },
+            out_path,
+        )
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -149,15 +169,22 @@ def main():
     p.add_argument("--out", default="demo_out")
     p.add_argument("--top_p", type=float, default=0.94)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--renderer_path", default=None,
+                   help="ca_body renderer bundle — renders the demo video "
+                        "(reference demo/demo.py:219-235)")
     args = p.parse_args()
 
-    pipe = DemoPipeline(args.face_model, args.pose_model, args.data_root, args.person)
+    pipe = DemoPipeline(args.face_model, args.pose_model, args.data_root, args.person,
+                        renderer_path=args.renderer_path)
     wav = read_wav(args.wav)
     out = pipe.generate(wav, 48_000, top_p=args.top_p, seed=args.seed)
     os.makedirs(args.out, exist_ok=True)
     np.save(os.path.join(args.out, "demo_results.npy"), out)
     print(f"saved {args.out}/demo_results.npy "
           f"(face {out['face'].shape}, pose {out['pose'].shape})")
+    if pipe.renderer is not None:
+        video = pipe.render_video(out, os.path.join(args.out, "demo_video"))
+        print(f"rendered {video}")
 
     try:  # optional web UI (the reference's gradio front-end, demo.py:238-276)
         import gradio as gr

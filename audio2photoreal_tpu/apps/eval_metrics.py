@@ -99,7 +99,7 @@ def main():
     parser.add_argument("--seq_len", type=int, default=600)
     args = parser.parse_args()
     results = np.load(args.results, allow_pickle=True).item()
-    pred = results["motion"].squeeze().reshape(
+    pred = results["motions"].squeeze().reshape(
         (args.num_samples, -1, args.nfeats, args.seq_len)
     )
     gt = results["gt"].squeeze().reshape((args.num_samples, -1, args.nfeats, args.seq_len))

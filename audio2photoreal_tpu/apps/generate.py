@@ -102,6 +102,10 @@ def generate(
     seed: int = 10,
     output_dir: Optional[str] = None,
     use_ema: bool = False,
+    plot: bool = False,
+    face_codes: Optional[str] = None,
+    renderer_path: Optional[str] = None,
+    render_gt: bool = False,
 ) -> str:
     cfgs = load_config(model_path)
     mcfg: DenoiserConfig = cfgs["denoiser"]
@@ -112,6 +116,13 @@ def generate(
     restored = checkpoints.restore(os.path.join(model_path, "ckpt"), None)
     state = restored["state"] if "state" in restored else restored
     params = state.get("ema_params") if use_ema else None
+    if use_ema and params is None:
+        import warnings
+
+        warnings.warn(
+            f"use_ema=True but {model_path} has no ema_params — falling back "
+            "to raw params (was the model trained with ema_decay=0?)"
+        )
     params = params or state["params"]
 
     scenes = load_local_data(data_root, datacfg.person)
@@ -176,7 +187,7 @@ def generate(
     inv = stats.inv_pose if mcfg.data_format == "pose" else stats.inv_code
     results = {
         # reference layout: [B, C, 1, T] (sample/generate.py:146-152)
-        "motion": motions.transpose(0, 2, 1)[:, :, None, :],
+        "motions": motions.transpose(0, 2, 1)[:, :, None, :],
         "gt": inv(np.asarray(gt)).transpose(0, 2, 1)[:, :, None, :],
         "audio": stats.inv_audio(np.asarray(audio)),
         "lengths": np.asarray(batch["lengths"]),
@@ -185,7 +196,72 @@ def generate(
         results["keyframes"] = np.concatenate(all_keyframes, 0)
     out_path = os.path.join(out_dir, "results.npy")
     np.save(out_path, results)
+
+    if plot:
+        _render_pred(
+            results,
+            face_codes_path=face_codes,
+            renderer_path=renderer_path,
+            out_dir=out_dir,
+            num_samples=n,
+            num_repetitions=num_repetitions,
+            render_gt=render_gt,
+            audio_per_frame=datacfg.audio_per_frame,
+        )
     return out_path
+
+
+def _render_pred(
+    results: dict,
+    *,
+    face_codes_path: Optional[str],
+    renderer_path: Optional[str],
+    out_dir: str,
+    num_samples: int,
+    num_repetitions: int,
+    render_gt: bool,
+    audio_per_frame: int = 1600,
+) -> None:
+    """Photoreal-render the generated motion (reference sample/generate.py:
+    155-207 _render_pred): pair each pose sample with its face-codes sample,
+    verify the audio matches, and write per-sample video(s)."""
+    from audio2photoreal_tpu.apps.render_pipeline import load_body_renderer
+
+    assert renderer_path, "--plot requires --renderer_path (converted ca_body bundle)"
+    assert face_codes_path, "--plot requires --face_codes (face model results.npy)"
+    face_res = np.load(face_codes_path, allow_pickle=True).item()
+    face_motions = face_res["motions"]
+    face_gts = face_res.get("gt")
+    face_audio = face_res["audio"]
+
+    renderer = load_body_renderer(renderer_path)
+    B = num_samples
+    for sample_i in range(num_samples):
+        for rep_i in range(num_repetitions):
+            idx = rep_i * B + sample_i
+            length = int(results["lengths"][idx])
+            body_motion = results["motions"][idx].transpose(2, 0, 1)[:length].squeeze(-1)
+            face_motion = face_motions[idx].transpose(2, 0, 1)[:length].squeeze(-1)
+            # face/pose runs must be conditioned on the SAME audio
+            # (sample/generate.py:187-189)
+            assert np.array_equal(
+                results["audio"][idx], face_audio[idx]
+            ), "face audio is not the same"
+            audio = results["audio"][idx][: length * audio_per_frame]
+            block = {
+                "audio": audio,
+                "body_motion": body_motion,
+                "face_motion": face_motion,
+            }
+            if render_gt:
+                block["gt_body"] = (
+                    results["gt"][idx].transpose(2, 0, 1)[:length].squeeze(-1)
+                )
+                block["gt_face"] = face_gts[idx].transpose(2, 0, 1)[:length].squeeze(-1)
+            save_base = os.path.join(out_dir, f"sample{sample_i:02d}_rep{rep_i:02d}")
+            renderer.render_full_video(block, save_base, render_gt=False)
+            if render_gt:
+                renderer.render_full_video(block, save_base, render_gt=True)
 
 
 def main():
@@ -201,6 +277,14 @@ def main():
     p.add_argument("--top_p", type=float, default=0.94)
     p.add_argument("--seed", type=int, default=10)
     p.add_argument("--output_dir", default=None)
+    p.add_argument("--plot", action="store_true",
+                   help="photoreal-render the samples (sample/generate.py:155-207)")
+    p.add_argument("--face_codes", default=None,
+                   help="face model results.npy for --plot")
+    p.add_argument("--renderer_path", default=None,
+                   help="converted ca_body renderer bundle dir for --plot")
+    p.add_argument("--render_gt", action="store_true",
+                   help="also render the ground-truth pane (render_codes.py:129-163)")
     args = p.parse_args()
     out = generate(
         args.model_path,
@@ -214,6 +298,10 @@ def main():
         top_p=args.top_p,
         seed=args.seed,
         output_dir=args.output_dir,
+        plot=args.plot,
+        face_codes=args.face_codes,
+        renderer_path=args.renderer_path,
+        render_gt=args.render_gt,
     )
     print(f"saved {out}")
 

@@ -64,11 +64,12 @@ def main():
             print(f"saved {out}.npz")
         else:
             face = np.zeros((len(pose), 256), np.float32)
-            renderer.render_full_video(
-                {"pose": pose, "face": face, "audio": stats.inv_audio(ex["audio"])},
+            video = renderer.render_full_video(
+                {"body_motion": pose, "face_motion": face,
+                 "audio": stats.inv_audio(ex["audio"])},
                 out,
             )
-            print(f"rendered {out}.mp4")
+            print(f"rendered {video}")
 
 
 if __name__ == "__main__":

@@ -2,9 +2,23 @@
 
 Equivalent of visualize/render_codes.py: loads per-person renderer assets +
 avatar params, then renders each frame with the BodyAvatar and muxes video +
-audio.  TPU-native twist: frames are processed in fixed-size jitted batches
-(one compile) instead of the reference's per-frame Python loop
-(render_codes.py:97-127).
+audio.  Matches the reference semantics:
+
+- inputs are RAW 256-d HQLP face codes; the HQLP→body translation runs inside
+  the model's encode path (render_codes.py:115-121 passes face_embs into
+  ``self.model(**default_inputs)`` whose ``encode()`` routes them through the
+  frozen decoder_face → encoder_face, mesh_vae_drivable.py:254-274),
+- the per-frame geometry is the LBS-posed template (render_codes.py:107-114),
+- every frame renders from the per-person camera RIG and the views are
+  concatenated side-by-side along width (render_codes.py:115-126 — the
+  released render_defaults carry two cameras),
+- ``render_full_video`` takes the reference's data_block keys
+  {audio, body_motion, face_motion[, gt_body, gt_face]} and a ``render_gt``
+  switch (render_codes.py:129-163).
+
+TPU-native twist: frames are processed in fixed-size jitted batches (cameras
+× frame-chunk in ONE batch — a single compile, MXU-friendly) instead of the
+reference's per-frame Python loop.
 """
 
 from __future__ import annotations
@@ -30,7 +44,7 @@ class Camera:
 
 
 class BodyRenderer:
-    """render_full_video equivalent (render_codes.py:129-163)."""
+    """render_codes.py BodyRenderer equivalent."""
 
     def __init__(
         self,
@@ -41,36 +55,48 @@ class BodyRenderer:
         frame_batch: int = 8,
     ):
         self.cfg = cfg
+        self.assets = assets
         self.model = BodyAvatar(cfg, assets)
         self.params = params
         self.cameras = cameras
         self.frame_batch = frame_batch
 
-        def render_frames(params, motion, face_embs, campos, K, Rt):
+        def render_frames(params, motion, face_codes, campos, K, Rt):
+            # geometry = LBS-posed template (render_codes.py:107-114); the
+            # encode path unposes it back to ~zero deltas and translates the
+            # HQLP face codes through decoder_face → encoder_face
+            geom = assets.lbs.pose(None, motion)
             preds = self.model.apply(
                 params, motion, campos,
-                embs=jnp.zeros((motion.shape[0], cfg.n_embs)),
-                face_embs_body=face_embs,
+                geom=geom, face_embs=face_codes,
                 K=K, Rt=Rt,
-                encode=False, use_pose_shadow=True, render=True,
+                encode=True, use_pose_shadow=True, render=True,
             )
             return linear2display_batch(preds["rgb"])
 
         self._render = jax.jit(render_frames)
 
+    def _stack_cams(self):
+        cams = list(self.cameras.values())
+        return (
+            np.stack([c.campos for c in cams]),
+            np.stack([c.K for c in cams]),
+            np.stack([c.Rt for c in cams]),
+        )
+
     def render_sequence(
         self,
         pose: np.ndarray,  # [T, 104]
-        face_embs_body: np.ndarray,  # [T, n_face_embs] body-space face embs
+        face_codes: np.ndarray,  # [T, 256] RAW HQLP face codes
         camera_name: Optional[str] = None,
     ) -> np.ndarray:
-        """→ uint8 frames [T, H, W, 3]."""
+        """Single-camera render → uint8 frames [T, H, W, 3]."""
         cam = self.cameras[camera_name or next(iter(self.cameras))]
         T = len(pose)
         fb = self.frame_batch
         pad = (-T) % fb
         pose_p = np.concatenate([pose, np.repeat(pose[-1:], pad, 0)], 0)
-        face_p = np.concatenate([face_embs_body, np.repeat(face_embs_body[-1:], pad, 0)], 0)
+        face_p = np.concatenate([face_codes, np.repeat(face_codes[-1:], pad, 0)], 0)
         frames = []
         for i in range(0, len(pose_p), fb):
             m = jnp.asarray(pose_p[i : i + fb])
@@ -86,27 +112,85 @@ class BodyRenderer:
         return np.concatenate(frames, 0)[:T]
 
     def render_sequence_multicam(
-        self, pose: np.ndarray, face_embs_body: np.ndarray
+        self, pose: np.ndarray, face_codes: np.ndarray
     ) -> np.ndarray:
-        """Side-by-side frames across all cameras — the reference renders two
-        views per frame (render_codes.py:115-126)."""
-        views = [
-            self.render_sequence(pose, face_embs_body, name) for name in self.cameras
-        ]
-        return np.concatenate(views, axis=2)  # stack along width
+        """All-camera side-by-side frames (render_codes.py:115-126: rgb0 and
+        rgb1 concatenated along width).  Batched TPU layout: each jit batch
+        holds frame_batch frames × n_cams rows."""
+        cams_pos, cams_K, cams_Rt = self._stack_cams()
+        n_cams = len(cams_pos)
+        T = len(pose)
+        fb = max(self.frame_batch // max(n_cams, 1), 1)
+        pad = (-T) % fb
+        pose_p = np.concatenate([pose, np.repeat(pose[-1:], pad, 0)], 0)
+        face_p = np.concatenate([face_codes, np.repeat(face_codes[-1:], pad, 0)], 0)
+        frames = []
+        for i in range(0, len(pose_p), fb):
+            m = pose_p[i : i + fb]
+            f = face_p[i : i + fb]
+            B = len(m)
+            # rows: frame-major × cam-minor → [B*n_cams, ...]
+            out = self._render(
+                self.params,
+                jnp.asarray(np.repeat(m, n_cams, 0)),
+                jnp.asarray(np.repeat(f, n_cams, 0)),
+                jnp.asarray(np.tile(cams_pos, (B, 1))),
+                jnp.asarray(np.tile(cams_K, (B, 1, 1))),
+                jnp.asarray(np.tile(cams_Rt, (B, 1, 1))),
+            )
+            out = np.asarray(out, np.uint8)
+            H, W = out.shape[1:3]
+            # [B, n_cams, H, W, 3] → side-by-side along width
+            out = out.reshape(B, n_cams, H, W, 3).transpose(0, 2, 1, 3, 4)
+            frames.append(out.reshape(B, H, n_cams * W, 3))
+        return np.concatenate(frames, 0)[:T]
 
     def render_full_video(
         self,
-        data_block: Dict[str, np.ndarray],  # {"pose": [T,104], "face": [T,E], "audio": [S,2]}
+        data_block: Dict[str, np.ndarray],
         out_path: str,
         audio_sr: int = 48_000,
         fps: int = 30,
+        render_gt: bool = False,
     ) -> str:
-        frames = self.render_sequence(data_block["pose"], data_block["face"])
+        """Reference data_block contract (render_codes.py:129-163 +
+        sample/generate.py:185-205): {audio, body_motion [T,104], face_motion
+        [T,256]}, plus {gt_body, gt_face} when ``render_gt``.  The legacy
+        {pose, face} keys from round 1 are still accepted."""
+        if render_gt:
+            pose, face = data_block["gt_body"], data_block["gt_face"]
+        else:
+            pose = data_block.get("body_motion", data_block.get("pose"))
+            face = data_block.get("face_motion", data_block.get("face"))
+        frames = self.render_sequence_multicam(np.asarray(pose), np.asarray(face))
+        audio = data_block.get("audio")
+        if audio is not None:
+            audio = np.asarray(audio)
+            if audio.ndim == 2 and audio.shape[0] < audio.shape[1]:
+                audio = audio.T  # reference passes [2, S] (generate.py:189)
+        base = out_path[:-4] if out_path.endswith(".mp4") else out_path
+        tag = "gt" if render_gt else "pred"
         return write_video(
-            out_path if out_path.endswith(".mp4") else out_path + ".mp4",
+            f"{base}_{tag}.mp4",
             list(frames),
             fps=fps,
-            audio=data_block.get("audio"),
+            audio=audio,
             audio_sr=audio_sr,
         )
+
+
+def load_body_renderer(
+    renderer_dir: str,
+    cfg: Optional[RendererConfig] = None,
+    frame_batch: int = 8,
+) -> BodyRenderer:
+    """Load a renderer bundle dir: ``assets.npz``/``static_assets.pt`` +
+    ``ckpt/`` (converted body_dec params) + ``cameras.npz`` (the role of the
+    reference's checkpoints/ca_body/data/<person> tree + render_defaults,
+    render_codes.py:60-90)."""
+    from audio2photoreal_tpu.render.assets import (
+        convert_static_assets,
+        load_renderer_bundle,
+    )
+
+    return load_renderer_bundle(renderer_dir, cfg=cfg, frame_batch=frame_batch)

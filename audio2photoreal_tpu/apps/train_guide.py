@@ -73,8 +73,11 @@ def train(
     step_fn = jax.jit(make_guide_train_step(model, tokenize, vcfg.depth))
     ckpt_dir = os.path.join(save_dir, "ckpt")
     rng = jax.random.PRNGKey(tcfg.seed)
+    from audio2photoreal_tpu.data.loader import make_train_iterator
+
+    batches = make_train_iterator(data_root, stats, datacfg, seed=tcfg.seed)
     for i in range(tcfg.num_steps):
-        b = ds.sample_batch(rng_np, datacfg.batch_size)
+        b = next(batches)
         batch = {k: jnp.asarray(v) for k, v in b.items() if k in ("keyframes", "keyframe_valid", "audio")}
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)

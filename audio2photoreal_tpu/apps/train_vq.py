@@ -59,8 +59,11 @@ def train(data_root: str, save_dir: str, vcfg: VQConfig, datacfg: DataConfig, tc
     ckpt_dir = os.path.join(save_dir, "ckpt")
     rng = jax.random.PRNGKey(tcfg.seed)
     best = float("inf")
+    from audio2photoreal_tpu.data.loader import make_train_iterator
+
+    batches = make_train_iterator(data_root, stats, datacfg, seed=tcfg.seed)
     for i in range(tcfg.num_steps):
-        batch = {"keyframes": jnp.asarray(ds.sample_batch(rng_np, datacfg.batch_size)["keyframes"])}
+        batch = {"keyframes": jnp.asarray(next(batches)["keyframes"])}
         rng, sub = jax.random.split(rng)
         state, vq, metrics = step_fn(state, vq, batch, sub)
         if i % tcfg.log_interval == 0:

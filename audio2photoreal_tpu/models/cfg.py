@@ -9,7 +9,7 @@ fuller and halves launch overhead inside the sampling scan.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any, Callable, Union
 
 import jax.numpy as jnp
 
@@ -20,13 +20,18 @@ def cfg_model_fn(
     apply_fn: Callable[..., jnp.ndarray],
     params: Any,
     cond: CondTokens,
-    guidance_scale: float,
+    guidance_scale: Union[float, jnp.ndarray],
 ):
     """Build a `model_fn(x, t) -> out` for the samplers.
 
     out = uncond + scale · (cond − uncond)   (cfg_sampler.py:30-33)
+
+    ``guidance_scale`` may be a python float (one scale for the batch) or a
+    per-sample ``[B]`` array — the reference reads a per-sample ``y["scale"]``
+    tensor and broadcasts it ``view(-1, 1, 1)`` (cfg_sampler.py:33).
     """
-    if guidance_scale == 1.0:
+    per_sample = not isinstance(guidance_scale, (int, float))
+    if not per_sample and guidance_scale == 1.0:
 
         def model_fn(x, t):
             B = x.shape[0]
@@ -50,6 +55,9 @@ def cfg_model_fn(
         keep = jnp.concatenate([jnp.ones((B,), bool), jnp.zeros((B,), bool)])
         out = apply_fn(params, x2, t2, cond2, keep)
         c, u = out[:B], out[B:]
-        return u + guidance_scale * (c - u)
+        scale = jnp.asarray(guidance_scale)
+        if scale.ndim == 1:  # per-sample [B] → broadcast over time/feature dims
+            scale = scale.reshape((-1,) + (1,) * (c.ndim - 1))
+        return u + scale * (c - u)
 
     return model_fn

@@ -13,9 +13,11 @@ TPU-first split:
   embedding swap for CFG, time embedding/FiLM, decoder stack, (pose) conv
   post-net.
 
-CFG dropout semantics match the reference: one Bernoulli keep per sample
-applied to cond tokens, the pooled cond hidden, and (pose) keyframe tokens
-(model/diffusion.py:364-393, prob_mask_like model/utils.py:83).
+CFG dropout semantics match the reference: one Bernoulli keep per sample for
+the audio cond tokens + pooled cond hidden (model/diffusion.py:364-393), and
+an INDEPENDENT Bernoulli keep for the (pose) keyframe tokens
+(model/diffusion.py:326-335 encode_keyframes draws its own prob_mask_like) —
+so training sees audio-dropped/keyframes-kept combinations and vice versa.
 """
 
 from __future__ import annotations
@@ -156,7 +158,14 @@ class FiLMDenoiser(nn.Module):
         frames = jnp.pad(frames, ((0, 0), (0, pad), (0, 0)))
         n_chunks = frames.shape[1] // chunk
         stacked = frames.reshape(B * n_chunks, chunk, 1600)
-        verts = self.lip_model(stacked)  # [B*n, chunk, 338, 3]
+        # the reference chunks over TIME with the batch axis intact
+        # (diffusion.py:300-307), so its per-batch-row PE offset (see
+        # lip_regressor.py docstring) is pe[b] for every chunk of sample b —
+        # restacking chunks into the batch must preserve that row index
+        from audio2photoreal_tpu.ops.embeddings import absolute_pos_encoding
+
+        pe_rows = jnp.repeat(absolute_pos_encoding(B, 512), n_chunks, axis=0)
+        verts = self.lip_model(stacked, pe_rows=pe_rows)  # [B*n, chunk, 338, 3]
         verts = jax.lax.stop_gradient(verts)
         verts = verts.reshape(B, n_chunks * chunk, -1)[:, :T]  # [B, T, 1014]
         # nearest-exact interpolation T → n_cond (diffusion.py:309-311)
@@ -198,8 +207,11 @@ class FiLMDenoiser(nn.Module):
         x: jnp.ndarray,  # [B, T, nfeats] noisy motion
         t: jnp.ndarray,  # [B] int32 original-schedule timesteps
         cond: CondTokens,
-        keep_mask: jnp.ndarray,  # [B] bool — False → null conditioning (CFG)
+        keep_mask: jnp.ndarray,  # [B] bool — False → null audio conditioning (CFG)
         deterministic: bool = True,
+        keep_mask_pose: Optional[jnp.ndarray] = None,  # [B] bool for keyframe
+        # tokens; None → same as keep_mask (the sampling path, where both are
+        # all-True / all-False)
     ) -> jnp.ndarray:
         c = self.cfg
         D = c.latent_dim
@@ -226,8 +238,9 @@ class FiLMDenoiser(nn.Module):
         pose_tokens = None
         if c.data_format == "pose":
             assert cond.pose_tokens is not None
+            keep_p = (keep_mask if keep_mask_pose is None else keep_mask_pose)[:, None, None]
             pose_tokens = jnp.where(
-                keep_e,
+                keep_p,
                 cond.pose_tokens,
                 self.null_pose_embed[:, : cond.pose_tokens.shape[1], :],
             )
@@ -284,7 +297,12 @@ class FiLMDenoiser(nn.Module):
         cond = self.encode_conditioning(audio, keyframes, keyframe_valid, deterministic)
         B = x.shape[0]
         if cond_drop_prob > 0.0:
-            keep = ~jax.random.bernoulli(self.make_rng("cond_drop"), cond_drop_prob, (B,))
+            # two INDEPENDENT draws, matching the reference's separate
+            # prob_mask_like calls (diffusion.py:326 keyframes, :367 audio)
+            k_audio, k_pose = jax.random.split(self.make_rng("cond_drop"))
+            keep = ~jax.random.bernoulli(k_audio, cond_drop_prob, (B,))
+            keep_pose = ~jax.random.bernoulli(k_pose, cond_drop_prob, (B,))
         else:
             keep = jnp.ones((B,), bool)
-        return self.denoise(x, t, cond, keep, deterministic)
+            keep_pose = keep
+        return self.denoise(x, t, cond, keep, deterministic, keep_mask_pose=keep_pose)

@@ -6,9 +6,21 @@ wav2vec_large encoder feeding a 2-enc / 4-dec RegressionTransformer
 zero sequence, projected to 338·3 lip vertex offsets.  Used as extra face
 conditioning from a frozen checkpoint (assets/iter-0200000.pt,
 diffusion.py:273-280).
+
+Positional-encoding quirk reproduced on purpose: the reference's
+``PositionalEncoding`` is constructed WITHOUT ``batch_first`` while the
+tensors are batch-first (transformer_modules.py:575-577, utils.py:42-65), so
+``x + pe[: x.shape[0]]`` adds ``pe[b]`` to every timestep of batch row ``b``
+— a constant per-row offset, not a per-position code.  The released
+checkpoint was trained with that behavior, so parity requires it.  Callers
+that restack time-chunks into the batch axis must pass ``pe_rows`` carrying
+each element's ORIGINAL batch index offset (the reference chunks over time
+with the batch axis intact, diffusion.py:300-307).
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -19,8 +31,12 @@ from audio2photoreal_tpu.ops.embeddings import absolute_pos_encoding
 
 
 class _EncLayer(nn.Module):
+    """TransformerEncoderLayer (transformer_modules.py:450-472): pre-norm
+    self-attn + pre-norm ReLU feedforward (d_feedforward=1024)."""
+
     dim: int
     heads: int
+    ff_size: int = 1024
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -28,13 +44,18 @@ class _EncLayer(nn.Module):
         h = MultiHeadAttention(self.dim, self.heads, name="self_attn")(h, h, h)
         x = x + h
         h = nn.LayerNorm(name="norm2")(x)
-        h = FeedForward(self.dim, self.dim * 4, name="ff")(h, deterministic)
+        h = FeedForward(self.dim, self.ff_size, activation=nn.relu, name="ff")(
+            h, deterministic
+        )
         return x + h
 
 
 class _DecLayer(nn.Module):
+    """TransformerDecoderLayer (transformer_modules.py:475-511)."""
+
     dim: int
     heads: int
+    ff_size: int = 1024
 
     @nn.compact
     def __call__(self, x, mem, deterministic=True):
@@ -45,7 +66,9 @@ class _DecLayer(nn.Module):
         h = MultiHeadAttention(self.dim, self.heads, name="cross_attn")(h, mem, mem)
         x = x + h
         h = nn.LayerNorm(name="norm3")(x)
-        h = FeedForward(self.dim, self.dim * 4, name="ff")(h, deterministic)
+        h = FeedForward(self.dim, self.ff_size, activation=nn.relu, name="ff")(
+            h, deterministic
+        )
         return x + h
 
 
@@ -55,18 +78,32 @@ class LipRegressor(nn.Module):
     heads: int = 4
     enc_layers: int = 2
     dec_layers: int = 4
+    ff_size: int = 1024
 
     @nn.compact
-    def __call__(self, audio_frames: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        audio_frames: jnp.ndarray,
+        deterministic: bool = True,
+        pe_rows: Optional[jnp.ndarray] = None,  # [B, dim] per-row PE offsets
+    ) -> jnp.ndarray:
         """[B, T, 1600] mono 48 kHz frames → [B, T, 338, 3] lip vertices."""
         B, T, _ = audio_frames.shape
         cond = Wav2VecEncoder(name="audio_encoder")(audio_frames)  # [B, T, 512]
-        pe = absolute_pos_encoding(T, self.dim)[None]
+        if pe_rows is None:
+            pe_rows = absolute_pos_encoding(B, self.dim)  # pe[b] per batch row
+        pe = pe_rows[:, None, :]  # broadcast over time (the reference quirk)
         mem = cond + pe
         for i in range(self.enc_layers):
-            mem = _EncLayer(self.dim, self.heads, name=f"enc_{i}")(mem, deterministic)
-        x = jnp.broadcast_to(pe, (B, T, self.dim))  # zero queries + positions
+            mem = _EncLayer(self.dim, self.heads, self.ff_size, name=f"enc_{i}")(
+                mem, deterministic
+            )
+        # zero decoder queries + the same per-row offset (RegressionTransformer
+        # forward, transformer_modules.py:595-599)
+        x = jnp.broadcast_to(pe, (B, T, self.dim))
         for i in range(self.dec_layers):
-            x = _DecLayer(self.dim, self.heads, name=f"dec_{i}")(x, mem, deterministic)
+            x = _DecLayer(self.dim, self.heads, self.ff_size, name=f"dec_{i}")(
+                x, mem, deterministic
+            )
         out = nn.Dense(self.n_vertices * 3, name="project_output")(x)
         return out.reshape(B, T, self.n_vertices, 3)

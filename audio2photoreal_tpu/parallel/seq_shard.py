@@ -12,11 +12,11 @@ This module shards the TIME axis of the feature extractor over the mesh's
 - ``shard_map`` over the ``seq`` axis runs one window per device; outputs
   concatenate along time with no halo correction needed.
 
-Normalization semantics: the extractor's group norm reduces over the FULL
-time axis (fairseq Fp32GroupNorm), so sharded execution normalizes per
-window instead — a documented deviation that vanishes as windows grow
-(seconds of audio each); callers needing exact global stats can psum the
-moments over the axis (see _GroupNormAll).
+Normalization semantics are EXACT: the extractor's group norm reduces over
+the FULL time axis (fairseq Fp32GroupNorm), so each layer psums
+de-duplicated masked moments over the ``seq`` axis (SeqShardCtx →
+_GroupNormAll) — every device normalizes with the global statistics and the
+sharded output equals the unsharded extractor's to float tolerance.
 
 This removes the per-device memory ceiling on clip length (arbitrary-minute
 audio on a pod slice) and is the designated growth path for streaming.
@@ -63,18 +63,33 @@ def chunked_windows(wav: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
 
 
 def seq_sharded_extract(
-    extract_fn: Callable[[jnp.ndarray], jnp.ndarray],  # [B, W] → [B, m, C]
+    extract_fn: Callable,  # (win [B, W], seq_ctx) → [B, m, C]
     wav: jnp.ndarray,  # [B, S]
     mesh: Mesh,
     axis: str = "seq",
 ) -> jnp.ndarray:
-    """Run the extractor with time sharded over `axis` → [B, n·m, C]."""
+    """Run the extractor with time sharded over `axis` → [B, n·m, C].
+
+    ``extract_fn(win, seq_ctx)`` receives a SeqShardCtx (models/audio_encoder)
+    so each group norm psums exact global moments over the shard axis."""
+    from audio2photoreal_tpu.models.audio_encoder import SeqShardCtx
+
     n = mesh.shape[axis]
     windows = chunked_windows(wav, n)  # [B, n, W]
+    rf = receptive_field()
+    n_out = max((wav.shape[1] - rf) // FRAME_HOP + 1, 0)
+    m = -(-n_out // n)
 
     def local(win):  # win: [B, 1, W] per device
         B, k, W = win.shape
-        feats = extract_fn(win.reshape(B * k, W))
+        ctx = SeqShardCtx(
+            axis_name=axis,
+            win_index=jax.lax.axis_index(axis),
+            n_windows=n,
+            frames_per_window=m,
+            orig_len=wav.shape[1],
+        )
+        feats = extract_fn(win.reshape(B * k, W), ctx)
         return feats.reshape(B, -1, feats.shape[-1])
 
     out = shard_map(
@@ -83,6 +98,4 @@ def seq_sharded_extract(
         in_specs=P(None, axis, None),
         out_specs=P(None, axis, None),
     )(windows)
-    rf = receptive_field()
-    n_out = max((wav.shape[1] - rf) // FRAME_HOP + 1, 0)
     return out[:, :n_out]

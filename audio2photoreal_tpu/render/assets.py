@@ -24,6 +24,31 @@ from audio2photoreal_tpu.render.mesh_vae import RendererAssets, RendererConfig
 from audio2photoreal_tpu.render.seams import SeamSampler
 
 
+def seam_sampler_from_reference(data, uv_size: int) -> SeamSampler:
+    """Reference seam_data contract (ca_body/utils/seams.py:16-52):
+    ``dst_ij``/``src_ij`` are [N, 2] (row, col) texel pairs; ``uvs`` is a
+    DENSE [H, W, 2] sample grid in [0, 1]; ``weights`` a dense [H, W] blend
+    map ((1-w)·tex + w·resampled).  The dense tables are sparsified here —
+    only texels with w > 0 participate, which keeps the TPU-side resample a
+    small gather instead of a full-texture grid_sample."""
+    W = uv_size
+    np_ = np.asarray
+    dst_ij = np_(data["dst_ij"]).astype(np.int64).reshape(-1, 2)
+    src_ij = np_(data["src_ij"]).astype(np.int64).reshape(-1, 2)
+    uvs = np_(data["uvs"]).astype(np.float32).reshape(W, W, 2)
+    weights = np_(data["weights"]).astype(np.float32).reshape(W, W)
+    ij = np.argwhere(weights > 0)
+    sub_uvs = uvs[ij[:, 0], ij[:, 1]]  # [M, 2] in [0, 1]
+    return SeamSampler(
+        impaint_dst=jnp.asarray(dst_ij[:, 0] * W + dst_ij[:, 1], jnp.int32),
+        impaint_src=jnp.asarray(src_ij[:, 0] * W + src_ij[:, 1], jnp.int32),
+        resample_uvs=jnp.asarray(2.0 * (sub_uvs - 0.5), jnp.float32),
+        resample_dst=jnp.asarray(ij[:, 0] * W + ij[:, 1], jnp.int32),
+        resample_weights=jnp.asarray(weights[ij[:, 0], ij[:, 1]], jnp.float32),
+        uv_size=uv_size,
+    )
+
+
 def empty_seam_sampler(uv_size: int) -> SeamSampler:
     return SeamSampler(
         impaint_dst=jnp.zeros((0,), jnp.int32),
@@ -105,6 +130,67 @@ def make_synthetic_assets(cfg: RendererConfig, seed: int = 0) -> RendererAssets:
         face_tex_mask=jnp.ones((Senc, Senc, 1), jnp.float32),
         frontal_view=jnp.asarray(np.array([0.0, 0.0, 1.0], np.float32)),
     )
+
+
+def save_renderer_bundle(out_dir: str, cfg: RendererConfig, params, cameras) -> str:
+    """Persist a renderer bundle dir — the role of the reference's
+    ``checkpoints/ca_body/data/<person>`` tree (config.yml + static_assets.pt
+    + body_dec.ckpt) plus ``render_defaults_<person>.pth``
+    (render_codes.py:57-90).  Layout:
+
+    - ``renderer.json``   — RendererConfig fields (+ synthetic-assets seed)
+    - ``ckpt/``           — orbax checkpoint of the avatar params
+    - ``cameras.npz``     — names, campos [N,3], K [N,3,3], Rt [N,3,4]
+    - ``static_assets.pt``— (optional, copied by the conversion CLI) real
+                            per-person assets; absent → synthetic assets
+    """
+    import dataclasses
+    import json
+    import os
+
+    import jax
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "renderer.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=1)
+    from audio2photoreal_tpu.train import checkpoints
+
+    checkpoints.save(os.path.join(out_dir, "ckpt"), 0, {"params": jax.device_get(params)})
+    names = list(cameras.keys())
+    np.savez(
+        os.path.join(out_dir, "cameras.npz"),
+        names=np.array(names),
+        campos=np.stack([np.asarray(cameras[n].campos) for n in names]),
+        K=np.stack([np.asarray(cameras[n].K) for n in names]),
+        Rt=np.stack([np.asarray(cameras[n].Rt) for n in names]),
+    )
+    return out_dir
+
+
+def load_renderer_bundle(renderer_dir: str, cfg=None, frame_batch: int = 8):
+    """Load a renderer bundle dir (see save_renderer_bundle) → BodyRenderer."""
+    import json
+    import os
+
+    from audio2photoreal_tpu.apps.render_pipeline import BodyRenderer, Camera
+    from audio2photoreal_tpu.train import checkpoints
+
+    if cfg is None:
+        with open(os.path.join(renderer_dir, "renderer.json")) as f:
+            cfg = RendererConfig(**json.load(f))
+    sa = os.path.join(renderer_dir, "static_assets.pt")
+    if os.path.exists(sa):
+        assets = convert_static_assets(sa, cfg)
+    else:
+        assets = make_synthetic_assets(cfg)
+    restored = checkpoints.restore(os.path.join(renderer_dir, "ckpt"), None)
+    params = restored["params"] if "params" in restored else restored
+    camf = np.load(os.path.join(renderer_dir, "cameras.npz"), allow_pickle=True)
+    cameras = {
+        str(n): Camera(campos=camf["campos"][i], K=camf["K"][i], Rt=camf["Rt"][i])
+        for i, n in enumerate(camf["names"])
+    }
+    return BodyRenderer(cfg, assets, params, cameras, frame_batch=frame_batch)
 
 
 def load_render_defaults(path: str):
@@ -191,18 +277,7 @@ def convert_static_assets(
         global_scaling=float(np.asarray(a.get("global_scaling", [1.0])).reshape(-1)[0]),
     )
 
-    def seam_from(data, uv_size):
-        # reference seam_data dict contract (ca_body/utils/seams.py usage)
-        return SeamSampler(
-            impaint_dst=jnp.asarray(np_(data["dst_ij"]), jnp.int32)
-            if "dst_ij" in data
-            else jnp.zeros((0,), jnp.int32),
-            impaint_src=jnp.asarray(np_(data.get("src_ij", np.zeros(0))), jnp.int32),
-            resample_uvs=jnp.asarray(np_(data.get("uvs", np.zeros((0, 2)))), jnp.float32),
-            resample_dst=jnp.asarray(np_(data.get("dst_tidx", np.zeros(0))), jnp.int32),
-            resample_weights=jnp.asarray(np_(data.get("weights", np.zeros(0))), jnp.float32),
-            uv_size=uv_size,
-        )
+    seam_from = seam_sampler_from_reference
 
     S0 = cfg.init_uv_size
     pose_cond = np_(a["pose_cond_mask"])  # [P?, S0, S0] or [S0, S0, P]

@@ -100,7 +100,10 @@ class UpscaleNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = Conv2dWNUB(self.n_ftrs, self.size, self.size, 3, 1, 1, name="conv_block")(x)
+        # two 3×3 convs (reference blocks.py:761-766), then the 1×1 out block
+        h = Conv2dWNUB(self.n_ftrs, self.size, self.size, 3, 1, 1, name="conv_block0")(x)
+        h = lrelu(h)
+        h = Conv2dWNUB(self.n_ftrs, self.size, self.size, 3, 1, 1, name="conv_block1")(h)
         h = lrelu(h)
         h = Conv2dWNUB(
             self.out_channels * self.upscale_factor**2,

@@ -27,6 +27,7 @@ class FaceDecoderFrontal(nn.Module):
     n_latent: int = 256
     n_vert_out: int = 3 * 7306
     tex_size: int = 1024
+    tex_pyramid: Tuple[int, ...] = ()  # default: tail of _TEX_PYRAMID
 
     @nn.compact
     def __call__(self, face_embs: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -41,7 +42,7 @@ class FaceDecoderFrontal(nn.Module):
         import math
 
         n_ups = int(math.log2(self.tex_size // 4))
-        chan_plan = _TEX_PYRAMID[-n_ups:]
+        chan_plan = list(self.tex_pyramid) or _TEX_PYRAMID[-n_ups:]
         chan_plan = chan_plan[:-1] + [3]
         chans = [(c, 4 * 2 ** (i + 1)) for i, c in enumerate(chan_plan)]
         for i, (c, size) in enumerate(chans):

@@ -41,8 +41,11 @@ def compute_dtype():
 
 
 def _wn_kernel(v: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
-    """w = g · v/‖v‖ with the norm over all dims but Cout (g_dim=0 in torch)."""
-    norm = jnp.sqrt((v**2).sum(axis=(0, 1, 2), keepdims=True) + 1e-12)
+    """w[o] = g[o] · v[o] / ‖v‖_F — per-out-channel g with a GLOBAL Frobenius
+    norm, matching the reference's ``weight_norm_wrapper(..., g_dim=0,
+    v_dim=None)`` (ca_body/nn/layers.py:422-427: v_dim None ⇒
+    ``norm_except_dim(v, 2, -1)`` = the norm of the whole tensor)."""
+    norm = jnp.sqrt((v**2).sum() + 1e-12)
     return (v * (g.reshape(1, 1, 1, -1) / norm)).astype(compute_dtype())
 
 
@@ -55,7 +58,8 @@ class LinearWN(nn.Module):
         v = self.param("v", nn.initializers.lecun_normal(), (in_f, self.features))
         g = self.param("g", nn.initializers.ones, (self.features,))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        norm = jnp.sqrt((v**2).sum(axis=0, keepdims=True) + 1e-12)
+        # global Frobenius norm (reference LinearWN: g_dim=0, v_dim=None)
+        norm = jnp.sqrt((v**2).sum() + 1e-12)
         cd = compute_dtype()
         w = (v * (g[None] / norm)).astype(cd)
         return x.astype(cd) @ w + b.astype(cd)
@@ -155,7 +159,9 @@ class ConvTranspose2dWNUB(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.height, self.width, self.features)
         )
-        norm = jnp.sqrt((v**2).sum(axis=(0, 1, 3), keepdims=True) + 1e-12)
+        # global norm, per-Cout g (reference ConvTranspose2dWNUB: g_dim=1,
+        # v_dim=None — torch weight is [Cin, Cout, kh, kw], g over dim 1)
+        norm = jnp.sqrt((v**2).sum() + 1e-12)
         cd = compute_dtype()
         w = (v * (g.reshape(1, 1, -1, 1) / norm)).astype(cd)
         out = _conv_transpose(x.astype(cd), w, self.stride, self.padding)

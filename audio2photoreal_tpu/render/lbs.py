@@ -183,16 +183,27 @@ class LBSModule:
         return solve_skeleton_state(self.skel, params)
 
     def pose(self, verts_unposed: Optional[jnp.ndarray], pose: jnp.ndarray) -> jnp.ndarray:
+        """Skin (delta + template) — ``verts_unposed`` is a DELTA from the
+        template, matching the reference (ca_body/utils/lbs.py:809-813:
+        ``lbs_fn(motion, scale, verts_unposed + template)``)."""
         states = self._states(pose)
         mat = states_to_matrix(self.bind_state, states)
-        verts = verts_unposed if verts_unposed is not None else self.template_verts
+        verts = (
+            self.template_verts
+            if verts_unposed is None
+            else verts_unposed + self.template_verts
+        )
         return skinning(mat, verts, self.skin_indices, self.skin_weights) * self.global_scaling
 
     def unpose(self, verts_posed: jnp.ndarray, pose: jnp.ndarray) -> jnp.ndarray:
+        """Posed verts → DELTA from template (lbs.py:815-821)."""
         states = self._states(pose)
         mat = states_to_matrix(self.bind_state, states)
-        return unskinning(
-            mat, verts_posed / self.global_scaling, self.skin_indices, self.skin_weights
+        return (
+            unskinning(
+                mat, verts_posed / self.global_scaling, self.skin_indices, self.skin_weights
+            )
+            - self.template_verts
         )
 
     def template_pose(self, pose: jnp.ndarray) -> jnp.ndarray:

@@ -40,7 +40,11 @@ class SeamSampler:
         grid = jnp.broadcast_to(
             self.resample_uvs[None, :, None, :], (B, self.resample_uvs.shape[0], 1, 2)
         )
-        sampled = grid_sample_bilinear(tex, grid, align_corners=False)[:, :, 0, :]
+        # padding_zero=False clamps to the border, matching the reference's
+        # grid_sample(padding_mode="border") (seams.py:26)
+        sampled = grid_sample_bilinear(tex, grid, align_corners=False, padding_zero=False)[
+            :, :, 0, :
+        ]
         flat = tex.reshape(B, H * W, C)
         dst_vals = flat[:, self.resample_dst]
         w = self.resample_weights[None, :, None]

@@ -36,12 +36,20 @@ def log(msg):
 
 
 def main():
-    from audio2photoreal_tpu.core.config import DenoiserConfig, DiffusionConfig, GuideConfig
+    import numpy as np
+
+    from audio2photoreal_tpu.core.config import (
+        DenoiserConfig,
+        DiffusionConfig,
+        GuideConfig,
+        VQConfig,
+    )
     from audio2photoreal_tpu.diffusion import sampling
     from audio2photoreal_tpu.diffusion.respace import maybe_respaced
     from audio2photoreal_tpu.models.cfg import cfg_model_fn
     from audio2photoreal_tpu.models.film_transformer import CondTokens, FiLMDenoiser
     from audio2photoreal_tpu.models.guide import GuideTransformer
+    from audio2photoreal_tpu.models.vqvae import TemporalVertexCodec, VQState
 
     T = 600  # 20 s of motion at 30 fps — the reference max window
     AUDIO_SECS = T / 30.0
@@ -53,9 +61,11 @@ def main():
     dcfg = DiffusionConfig(timestep_respacing="ddim500")
     gcfg = GuideConfig(tokens=1024, latent_dim=512, ff_size=1024, num_layers=6,
                        num_heads=4, vq_depth=4)
+    vcfg = VQConfig(nfeats=104, depth=gcfg.vq_depth, code_dim=gcfg.tokens)
 
     model = FiLMDenoiser(cfg)
     guide = GuideTransformer(gcfg)
+    codec = TemporalVertexCodec(vcfg)
 
     x = jax.random.normal(jax.random.PRNGKey(0), (B, T, cfg.nfeats))
     t0v = jnp.zeros((B,), jnp.int32)
@@ -86,12 +96,27 @@ def main():
     tokens = gen(gparams, audio, jax.random.PRNGKey(6))
     jax.block_until_ready(tokens)
 
-    # stage 2: denoiser conditioning encode (once per sample)
-    log("bench: compile conditioning encode")
-    enc = jax.jit(
-        lambda p, a, kf, kv: model.apply(p, a, kf, kv, method=FiLMDenoiser.encode_conditioning)
+    # stage 2: VQ-decode the guide tokens into keyframes + conditioning encode
+    # — the ACTUAL token→keyframe→conditioning chain the product runs
+    # (reference sample/generate.py:51-71 _replace_keyframes)
+    log("bench: compile vq decode + conditioning encode")
+    vq_state = VQState(
+        embed=jax.random.normal(jax.random.PRNGKey(9), (vcfg.depth, vcfg.code_dim, vcfg.emb_width)),
+        embed_avg=jnp.zeros((vcfg.depth, vcfg.code_dim, vcfg.emb_width)),
+        cluster_size=jnp.ones((vcfg.depth, vcfg.code_dim)),
+        inited=jnp.asarray(True),
     )
-    cond = enc(params, audio, kf, kv)
+    vparams = jax.jit(codec.init)(
+        {"params": jax.random.PRNGKey(8)}, jnp.zeros((B, K, 104)), vq_state
+    )
+
+    def enc_fn(p, vp, a, toks, key_valid):
+        codes = toks.reshape(B, K, vcfg.depth)
+        kframes = codec.apply(vp, codes, vq_state, method=TemporalVertexCodec.decode)
+        return model.apply(p, a, kframes, key_valid, method=FiLMDenoiser.encode_conditioning)
+
+    enc = jax.jit(enc_fn)
+    cond = enc(params, vparams, audio, tokens, kv)
     jax.block_until_ready(cond.cond_tokens)
 
     # stage 3: DDIM-500 with batched CFG
@@ -110,28 +135,47 @@ def main():
     out = ddim_c(params, cond.cond_tokens, cond.pose_tokens, xT, jax.random.PRNGKey(7))
     jax.block_until_ready(out)
 
-    # timed steady-state end-to-end
+    # timed steady-state end-to-end: guide tokens → VQ keyframes → DDIM
     log("bench: timing")
     n_runs = 3
     t_start = time.perf_counter()
     for i in range(n_runs):
         tokens = gen(gparams, audio, jax.random.PRNGKey(10 + i))
-        cond = enc(params, audio, kf, kv)
+        cond = enc(params, vparams, audio, tokens, kv)
         out = ddim_c(params, cond.cond_tokens, cond.pose_tokens, xT, jax.random.PRNGKey(20 + i))
     jax.block_until_ready((tokens, out))
     wall = (time.perf_counter() - t_start) / n_runs
 
-    value = AUDIO_SECS / wall
-    print(
-        json.dumps(
-            {
-                "metric": "audio_secs_per_wall_sec_pose_ddim500_cfg",
-                "value": round(value, 3),
-                "unit": "x_realtime",
-                "vs_baseline": round(value / 1.0, 3),
-            }
-        )
-    )
+    # MFU: achieved FLOPs/s over the whole pipeline vs the chip's bf16 peak
+    # (v5e ≈ 197 TFLOP/s); best-effort — cost_analysis may be unavailable
+    # behind the device tunnel
+    mfu = None
+    try:
+        flops = 0.0
+        for fn, args in (
+            (gen, (gparams, audio, jax.random.PRNGKey(6))),
+            (enc, (params, vparams, audio, tokens, kv)),
+            (ddim_c, (params, cond.cond_tokens, cond.pose_tokens, xT, jax.random.PRNGKey(7))),
+        ):
+            ca = fn.lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops += float(ca.get("flops", 0.0))
+        if flops > 0:
+            V5E_PEAK_BF16 = 197e12
+            mfu = flops / wall / V5E_PEAK_BF16
+    except Exception as e:  # pragma: no cover
+        log(f"bench: cost_analysis unavailable ({type(e).__name__}: {e})")
+
+    result = {
+        "metric": "audio_secs_per_wall_sec_pose_ddim500_cfg",
+        "value": round(AUDIO_SECS / wall, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(AUDIO_SECS / wall / 1.0, 3),
+    }
+    if mfu is not None:
+        result["mfu_vs_v5e_bf16_peak"] = round(mfu, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -65,19 +65,104 @@ def test_generate_results_layout(trained):
         vq_path=f"{root}/vq",
     )
     r = np.load(out, allow_pickle=True).item()
-    # reference results.npy layout: motion [B, C, 1, T] (sample/generate.py:146-152)
-    assert set(r.keys()) >= {"motion", "gt", "audio", "lengths"}
-    assert r["motion"].shape[1:3] == (104, 1)
-    assert r["gt"].shape == r["motion"].shape
-    assert np.isfinite(r["motion"]).all()
+    # reference results.npy layout: motions [B, C, 1, T] (sample/generate.py:146-152)
+    assert set(r.keys()) >= {"motions", "gt", "audio", "lengths"}
+    assert r["motions"].shape[1:3] == (104, 1)
+    assert r["gt"].shape == r["motions"].shape
+    assert np.isfinite(r["motions"]).all()
 
     from audio2photoreal_tpu.apps.eval_metrics import evaluate_results
 
-    pred = r["motion"][:, :, 0, :][None]
+    pred = r["motions"][:, :, 0, :][None]
     gt = r["gt"][:, :, 0, :][None]
     m = evaluate_results(pred, gt)
     assert set(m) == {"cross_var", "var_g", "var_k", "fid_g", "fid_k"}
     assert np.isfinite(m["fid_g"])
+
+
+def test_generate_plot_renders_two_cam_video(trained, tmp_path):
+    """--plot photoreal path (reference sample/generate.py:155-207): pose
+    results + face-codes results + ca_body renderer bundle → per-sample video
+    with frames from BOTH cameras side-by-side, plus a GT pane video."""
+    import jax
+
+    from audio2photoreal_tpu.apps.generate import _render_pred
+    from audio2photoreal_tpu.apps.render_pipeline import Camera
+    from audio2photoreal_tpu.render.assets import (
+        make_synthetic_assets,
+        save_renderer_bundle,
+    )
+    from audio2photoreal_tpu.render.mesh_vae import BodyAvatar, RendererConfig
+
+    root = trained
+    results = np.load(
+        f"{root}/diff/samples_ddim3_seed10/results.npy", allow_pickle=True
+    ).item()
+    B = results["motions"].shape[0]
+    T = results["motions"].shape[-1]
+
+    # fabricate the face-model results.npy (same audio — the cross-check
+    # at sample/generate.py:187-189 must pass)
+    face_res = {
+        "motions": np.random.RandomState(0).randn(B, 256, 1, T).astype(np.float32),
+        "gt": np.random.RandomState(1).randn(B, 256, 1, T).astype(np.float32),
+        "audio": results["audio"],
+    }
+    face_path = str(tmp_path / "face_results.npy")
+    np.save(face_path, face_res)
+
+    # synthetic ca_body renderer bundle with a 2-camera rig
+    rcfg = RendererConfig(
+        uv_size=64, init_uv_size=16, upscale_size=128, n_embs=32, n_face_embs=256,
+        n_pose_enc_channels=8, n_embs_enc_channels=8, n_init_channels=16,
+        n_min_channels=4, shadow_size=32, view_unet_ftrs=4, encoder_in_size=64,
+        face_tex_size=64, n_face_verts=64, image_height=48, image_width=32,
+    )
+    assets = make_synthetic_assets(rcfg)
+    model = BodyAvatar(rcfg, assets)
+    motion0 = np.zeros((1, 104), np.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        motion0, np.zeros((1, 3), np.float32),
+        geom=assets.lbs.pose(None, motion0),
+        face_embs=np.zeros((1, 256), np.float32),
+    )
+    cams = {
+        "cam0": Camera(
+            campos=np.array([0.0, -3.0, 1.0], np.float32),
+            K=np.array([[40.0, 0, 16], [0, 40.0, 24], [0, 0, 1]], np.float32),
+            Rt=np.array([[1, 0, 0, 0], [0, 0, -1, 1], [0, 1, 0, 3]], np.float32),
+        ),
+        "cam1": Camera(
+            campos=np.array([0.0, 3.0, 1.0], np.float32),
+            K=np.array([[40.0, 0, 16], [0, 40.0, 24], [0, 0, 1]], np.float32),
+            Rt=np.array([[-1, 0, 0, 0], [0, 0, -1, 1], [0, -1, 0, 3]], np.float32),
+        ),
+    }
+    bundle = str(tmp_path / "renderer")
+    save_renderer_bundle(bundle, rcfg, params, cams)
+
+    out_dir = str(tmp_path / "plots")
+    os.makedirs(out_dir, exist_ok=True)
+    _render_pred(
+        results,
+        face_codes_path=face_path,
+        renderer_path=bundle,
+        out_dir=out_dir,
+        num_samples=1,
+        num_repetitions=1,
+        render_gt=True,
+    )
+    # ffmpeg absent → .npz frame dumps; present → .mp4
+    outs = sorted(os.listdir(out_dir))
+    assert any("sample00_rep00_pred" in f for f in outs), outs
+    assert any("sample00_rep00_gt" in f for f in outs), outs
+    npzs = [f for f in outs if f.endswith(".npz")]
+    if npzs:
+        fr = np.load(os.path.join(out_dir, npzs[0]))["frames"]
+        # two cameras side-by-side → width doubled
+        assert fr.shape[2] == 2 * 32 and fr.shape[1] == 48
+        assert fr.dtype == np.uint8
 
 
 def test_training_resume(trained):

@@ -92,7 +92,7 @@ def test_fast_loader_matches_dataset_contract(tmp_path):
     from audio2photoreal_tpu.data.stats import DataStats
 
     make_synthetic_person(str(tmp_path), "SYNTH01", num_scenes=3, frames_per_scene=64)
-    idx = SceneIndex(str(tmp_path), "SYNTH01")
+    idx = SceneIndex(str(tmp_path), "SYNTH01", split="all")
     assert len(idx.entries) == 3 and idx.entries[0][1] == 64
     stats = DataStats.load(str(tmp_path / "SYNTH01" / "data_stats.npz"))
     cfg = DataConfig(person="SYNTH01", max_seq_length=48, min_seq_length=32)
@@ -108,8 +108,27 @@ def test_fast_loader_matches_dataset_contract(tmp_path):
 
     scenes = load_local_data(str(tmp_path), "SYNTH01")
     pose_n = stats.norm_pose(scenes[0].pose[:48])
-    direct, _ = loader._read_window(idx.entries[0][0], 0, 48)
+    direct, _, kf = loader._read_window(idx.entries[0][0], 0, 48)
     np.testing.assert_allclose(direct, pose_n, atol=2e-4)
+    np.testing.assert_allclose(kf, pose_n[::30], atol=2e-4)
+
+    # face format: codes z-normed, missing frames zeroed in motion AND mask
+    fcfg = DataConfig(person="SYNTH01", data_format="face",
+                      max_seq_length=48, min_seq_length=48)
+    floader = FastLoader(idx, stats, fcfg, seed=0)
+    fb = floader.sample_batch(4)
+    assert fb["motion"].shape == (4, 48, 256)
+    assert "keyframes" not in fb
+    code_n = stats.norm_code(scenes[0].face[:48])
+    code_n = np.where(scenes[0].missing[:48, None], 0.0, code_n)
+    fdirect, _, _ = floader._read_window(idx.entries[0][0], 0, 48)
+    fdirect = np.where(idx.missing[0][:48, None], 0.0, fdirect)
+    np.testing.assert_allclose(fdirect, code_n, atol=2e-4)
+    # masks reflect missing frames for at least the scenes that have them
+    for b in range(4):
+        L = int(fb["lengths"][b])
+        assert not fb["mask"][b, L:].any()
+        assert (fb["motion"][b][fb["mask"][b] == 0.0] == 0.0).all()
 
     # prefetch wraps an iterator transparently
     it = prefetch(iter([{"a": np.ones(1)}, {"a": np.zeros(1)}]))

@@ -139,12 +139,16 @@ def _toy_lbs():
 
 
 def test_lbs_pose_unpose_roundtrip():
+    """pose/unpose speak DELTAS from the template (reference lbs.py:809-821):
+    unpose(pose(delta)) == delta, and the posed template unposes to 0."""
     lbs = _toy_lbs()
     pose = jnp.asarray(np.random.RandomState(3).randn(2, 6).astype(np.float32) * 0.3)
     posed = lbs.template_pose(pose)
-    unposed = lbs.unpose(posed, pose)
-    template = np.broadcast_to(np.asarray(lbs.template_verts), posed.shape)
-    np.testing.assert_allclose(np.asarray(unposed), template, atol=1e-4)
+    delta0 = lbs.unpose(posed, pose)
+    np.testing.assert_allclose(np.asarray(delta0), np.zeros_like(delta0), atol=1e-4)
+    delta = jnp.asarray(np.random.RandomState(4).randn(*posed.shape).astype(np.float32) * 0.1)
+    roundtrip = lbs.unpose(lbs.pose(delta, pose), pose)
+    np.testing.assert_allclose(np.asarray(roundtrip), np.asarray(delta), atol=1e-4)
 
 
 def test_lbs_translation_moves_rigid_verts():
