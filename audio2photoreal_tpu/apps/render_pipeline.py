@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audio2photoreal_tpu.render.color import linear2display_batch
 from audio2photoreal_tpu.render.mesh_vae import BodyAvatar, RendererAssets, RendererConfig
 from audio2photoreal_tpu.render.video import write_video
 
@@ -64,15 +63,20 @@ class BodyRenderer:
         def render_frames(params, motion, face_codes, campos, K, Rt):
             # geometry = LBS-posed template (render_codes.py:107-114); the
             # encode path unposes it back to ~zero deltas and translates the
-            # HQLP face codes through decoder_face → encoder_face
+            # HQLP face codes through decoder_face → encoder_face.
+            # render_display=True: the display transform runs densely in UV
+            # space and the rasterizer samples a packed-RGB8 texture — rgb
+            # comes out display-space [0, 255], uint8-ready (the gather fast
+            # path; see render/rasterizer.py render_texture_packed)
             geom = assets.lbs.pose(None, motion)
             preds = self.model.apply(
                 params, motion, campos,
                 geom=geom, face_embs=face_codes,
                 K=K, Rt=Rt,
                 encode=True, use_pose_shadow=True, render=True,
+                render_display=True,
             )
-            return linear2display_batch(preds["rgb"])
+            return preds["rgb"]
 
         self._render = jax.jit(render_frames)
 

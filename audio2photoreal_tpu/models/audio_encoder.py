@@ -267,7 +267,7 @@ class Wav2VecDownsampler(nn.Module):
         x = interp_to(x, (x.shape[1] + target_length) // 2)
         x = causal_conv1d(x, k2, b2)
         x = interp_to(x, target_length)
-        return nn.LayerNorm(name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
 
 class AudioTcn(nn.Module):

@@ -148,9 +148,9 @@ class FiLMDecoderLayer(nn.Module):
         D, H = self.dim, self.heads
         self.self_attn = MultiHeadAttention(D, H, self.dropout, self.dtype, name="self_attn")
         self.cross_attn = MultiHeadAttention(D, H, self.dropout, self.dtype, name="cross_attn")
-        self.norm1 = nn.LayerNorm(name="norm1", dtype=self.dtype)
-        self.norm2 = nn.LayerNorm(name="norm2", dtype=self.dtype)
-        self.norm3 = nn.LayerNorm(name="norm3", dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3", dtype=self.dtype)
         self.film1 = DenseFiLM(D, self.dtype, name="film1")
         self.film2 = DenseFiLM(D, self.dtype, name="film2")
         self.film3 = DenseFiLM(D, self.dtype, name="film3")
@@ -158,7 +158,7 @@ class FiLMDecoderLayer(nn.Module):
         self.drop = nn.Dropout(self.dropout)
         if self.use_cm:
             self.cross_attn2 = MultiHeadAttention(D, H, self.dropout, self.dtype, name="cross_attn2")
-            self.norm2a = nn.LayerNorm(name="norm2a", dtype=self.dtype)
+            self.norm2a = nn.LayerNorm(epsilon=1e-5, name="norm2a", dtype=self.dtype)
             self.film2a = DenseFiLM(D, self.dtype, name="film2a")
 
     def __call__(
@@ -263,14 +263,14 @@ class RotaryEncoderLayer(nn.Module):
         rotary: Optional[RotaryTable] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        h = nn.LayerNorm(name="norm1", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x)
         qk = _maybe_rotate(h, rotary)
         h = MultiHeadAttention(self.dim, self.heads, self.dropout, self.dtype, name="self_attn")(
             qk, qk, h, bias, deterministic
         )
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = x + h
-        h = nn.LayerNorm(name="norm2", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(x)
         h = FeedForward(self.dim, self.ff_size, self.dropout, dtype=self.dtype, name="ff")(
             h, deterministic
         )

@@ -63,13 +63,13 @@ class FiLMDenoiser(nn.Module):
             ]
         self.input_projection = nn.Dense(D, name="input_projection")
         self.cond_projection = nn.Dense(D, name="cond_projection")
-        self.norm_cond = nn.LayerNorm(name="norm_cond")
+        self.norm_cond = nn.LayerNorm(epsilon=1e-5, name="norm_cond")
         # time embedding (reference: diffusion.py:120-132)
         self.time_dense = nn.Dense(D * 4, name="time_dense")
         self.to_time_cond = nn.Dense(D, name="to_time_cond")
         self.to_time_tokens = nn.Dense(D * 2, name="to_time_tokens")
         # pooled-cond FiLM path (diffusion.py:174-179)
-        self.non_attn_norm = nn.LayerNorm(name="non_attn_norm")
+        self.non_attn_norm = nn.LayerNorm(epsilon=1e-5, name="non_attn_norm")
         self.non_attn_d1 = nn.Dense(D, name="non_attn_d1")
         self.non_attn_d2 = nn.Dense(D, name="non_attn_d2")
 
@@ -87,7 +87,7 @@ class FiLMDenoiser(nn.Module):
                 "null_pose_embed", nn.initializers.normal(1.0), (1, max_key_len, D)
             )
             self.frame_cond_projection = nn.Dense(D, name="frame_cond_projection")
-            self.frame_norm_cond = nn.LayerNorm(name="frame_norm_cond")
+            self.frame_norm_cond = nn.LayerNorm(epsilon=1e-5, name="frame_norm_cond")
             # causal dilated conv post-net, receptive field 25 (diffusion.py:201-224)
             nf = c.nfeats
             self.post_conv_specs = [

@@ -82,10 +82,10 @@ class GuideTransformer(nn.Module):
         self.audio_frontend = Wav2VecFeatureExtractor(name="audio_frontend")
         self.pre_audio = _AudioPreNet(c.cond_feature_dim, name="pre_audio")
         self.cond_projection = nn.Dense(D, name="cond_projection")
-        self.non_attn_norm = nn.LayerNorm(name="non_attn_norm")
+        self.non_attn_norm = nn.LayerNorm(epsilon=1e-5, name="non_attn_norm")
         self.non_attn_d1 = nn.Dense(D, name="non_attn_d1")
         self.non_attn_d2 = nn.Dense(D, name="non_attn_d2")
-        self.norm_cond = nn.LayerNorm(name="norm_cond")
+        self.norm_cond = nn.LayerNorm(epsilon=1e-5, name="norm_cond")
         # null-cond length: audio tokens shrink by 24 per prenet block
         emb_len = 2048  # static upper bound; sliced to the actual cond length
         self.null_cond_embed = self.param(

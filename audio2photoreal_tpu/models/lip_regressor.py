@@ -40,10 +40,10 @@ class _EncLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        h = nn.LayerNorm(name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         h = MultiHeadAttention(self.dim, self.heads, name="self_attn")(h, h, h)
         x = x + h
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         h = FeedForward(self.dim, self.ff_size, activation=nn.relu, name="ff")(
             h, deterministic
         )
@@ -59,13 +59,13 @@ class _DecLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mem, deterministic=True):
-        h = nn.LayerNorm(name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         h = MultiHeadAttention(self.dim, self.heads, name="self_attn")(h, h, h)
         x = x + h
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         h = MultiHeadAttention(self.dim, self.heads, name="cross_attn")(h, mem, mem)
         x = x + h
-        h = nn.LayerNorm(name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         h = FeedForward(self.dim, self.ff_size, activation=nn.relu, name="ff")(
             h, deterministic
         )

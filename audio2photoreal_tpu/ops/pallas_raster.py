@@ -61,13 +61,22 @@ def pack_triangles(
     faces: jnp.ndarray,  # [F, 3]
     chunk: int,
     perm: jnp.ndarray = None,  # [B, F] optional face ordering
+    face_uv: jnp.ndarray = None,  # [F, 3, 2] per-corner UVs (already v-flipped)
 ) -> jnp.ndarray:
-    """→ [B, F_pad, 12]: xa ya xb yb xc yc za zb zc valid pad pad."""
+    """→ [B, F_pad, 16]: xa ya xb yb xc yc za zb zc valid ua va ub vb uc vc.
+
+    Packing the UVs lets the kernel emit per-pixel UV directly — the
+    post-raster ``interpolate_uv`` gather (7 ms/frame at 1024×704) disappears
+    because the winning face's corner UVs are already in VMEM."""
     tri = pix_verts[:, faces]  # [B, F, 3, 2]
     tz = depth[:, faces]  # [B, F, 3]
     B, F = tri.shape[:2]
+    if face_uv is None:
+        uv_cols = jnp.zeros((B, F, 6))
+    else:
+        uv_cols = jnp.broadcast_to(face_uv.reshape(1, F, 6), (B, F, 6))
     data = jnp.concatenate(
-        [tri.reshape(B, F, 6), tz, jnp.ones((B, F, 1)), jnp.zeros((B, F, 2))], axis=-1
+        [tri.reshape(B, F, 6), tz, jnp.ones((B, F, 1)), uv_cols], axis=-1
     )
     if perm is not None:
         data = data[jnp.arange(B)[:, None], perm]
@@ -78,7 +87,8 @@ def pack_triangles(
 
 
 def _raster_kernel(
-    tri_ref, face_ref, depth_ref, b0_ref, b1_ref, b2_ref, *, th, tw, chunk, n_faces_pad
+    tri_ref, face_ref, depth_ref, b0_ref, b1_ref, b2_ref, u_ref, v_ref,
+    *, th, tw, chunk, n_faces_pad
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -92,7 +102,7 @@ def _raster_kernel(
     tile_y1 = (i * th + th).astype(jnp.float32) + 0.5
 
     def body(c, carry):
-        best_z, best_f, b0, b1, b2 = carry
+        best_z, best_f, b0, b1, b2, bu, bv = carry
         tri = tri_ref[pl.ds(c * chunk, chunk), :]  # [CHUNK, 12]
         # chunk-level bbox cull: with Morton-ordered faces (pack_triangles)
         # consecutive faces cluster spatially, so whole chunks usually miss
@@ -110,7 +120,7 @@ def _raster_kernel(
         )
 
         def compute(carry):
-            best_z, best_f, b0, b1, b2 = carry
+            best_z, best_f, b0, b1, b2, bu, bv = carry
             xa = tri[:, 0][:, None, None]
             ya = tri[:, 1][:, None, None]
             xb = tri[:, 2][:, None, None]
@@ -149,8 +159,17 @@ def _raster_kernel(
             b0 = jnp.where(take, sel(w0), b0)
             b1 = jnp.where(take, sel(w1), b1)
             b2 = jnp.where(take, sel(w2), b2)
+            # interpolated UV of the winning face (corner UVs ride in VMEM)
+            ua = tri[:, 10][:, None, None]
+            va = tri[:, 11][:, None, None]
+            ub = tri[:, 12][:, None, None]
+            vb = tri[:, 13][:, None, None]
+            uc = tri[:, 14][:, None, None]
+            vc = tri[:, 15][:, None, None]
+            bu = jnp.where(take, sel(w0 * ua + w1 * ub + w2 * uc), bu)
+            bv = jnp.where(take, sel(w0 * va + w1 * vb + w2 * vc), bv)
             best_z = jnp.minimum(best_z, zmin)
-            return best_z, best_f, b0, b1, b2
+            return best_z, best_f, b0, b1, b2, bu, bv
 
         return jax.lax.cond(overlaps, compute, lambda cr: cr, carry)
 
@@ -160,15 +179,19 @@ def _raster_kernel(
         jnp.zeros((th, tw), jnp.float32),
         jnp.zeros((th, tw), jnp.float32),
         jnp.zeros((th, tw), jnp.float32),
+        jnp.zeros((th, tw), jnp.float32),
+        jnp.zeros((th, tw), jnp.float32),
     )
-    best_z, best_f, b0, b1, b2 = jax.lax.fori_loop(0, n_chunks, body, init)
+    best_z, best_f, b0, b1, b2, bu, bv = jax.lax.fori_loop(0, n_chunks, body, init)
     face_ref[:, :] = best_f
     depth_ref[:, :] = best_z
-    # barycentrics as three planar outputs: a trailing dim of 3 would pad to
+    # barycentrics/UVs as planar outputs: a trailing dim of 3 would pad to
     # 128 lanes under TPU (8, 128) tiling and blow the VMEM budget
     b0_ref[:, :] = b0
     b1_ref[:, :] = b1
     b2_ref[:, :] = b2
+    u_ref[:, :] = bu
+    v_ref[:, :] = bv
 
 
 def rasterize_pallas(
@@ -182,13 +205,15 @@ def rasterize_pallas(
     chunk: int = 16,  # [chunk, th, tw] f32 temporaries must stay under ~16MB VMEM
     interpret: bool = False,
     spatial_sort: bool = True,
+    face_uv: jnp.ndarray = None,  # [F, 3, 2] → also emit per-pixel UV
 ):
-    """→ (face_index [B, H, W], barys [B, H, W, 3], depth [B, H, W])."""
+    """→ (face_index [B, H, W], barys [B, H, W, 3], depth [B, H, W],
+    uv [B, H, W, 2] or None)."""
     th, tw = tile
     Hp = -(-height // th) * th
     Wp = -(-width // tw) * tw
     perm = morton_order(pix_verts, faces, height, width) if spatial_sort else None
-    tri = pack_triangles(pix_verts, depth, faces, chunk, perm)
+    tri = pack_triangles(pix_verts, depth, faces, chunk, perm, face_uv=face_uv)
     B, F_pad, _ = tri.shape
 
     kernel = functools.partial(
@@ -201,11 +226,13 @@ def rasterize_pallas(
             kernel,
             grid=(Hp // th, Wp // tw),
             in_specs=[
-                pl.BlockSpec((F_pad, 12), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((F_pad, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
             ],
-            out_specs=(tile_spec(), tile_spec(), tile_spec(), tile_spec(), tile_spec()),
+            out_specs=tuple(tile_spec() for _ in range(7)),
             out_shape=(
                 jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
                 jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
                 jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
                 jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
@@ -214,11 +241,19 @@ def rasterize_pallas(
             interpret=interpret,
         )(tri_b)
 
-    face, dep, b0, b1, b2 = jax.vmap(single)(tri)
+    face, dep, b0, b1, b2, bu, bv = jax.vmap(single)(tri)
     bary = jnp.stack([b0, b1, b2], axis=-1)
     if perm is not None:
         # kernel face ids index the sorted order — map back to caller ids
         flat = jnp.maximum(face, 0).reshape(B, -1)
         remapped = perm[jnp.arange(B)[:, None], flat].reshape(face.shape)
         face = jnp.where(face >= 0, remapped.astype(jnp.int32), -1)
-    return face[:, :height, :width], bary[:, :height, :width], dep[:, :height, :width]
+    uv = None
+    if face_uv is not None:
+        uv = jnp.stack([bu, bv], axis=-1)[:, :height, :width]
+    return (
+        face[:, :height, :width],
+        bary[:, :height, :width],
+        dep[:, :height, :width],
+        uv,
+    )

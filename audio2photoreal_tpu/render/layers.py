@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Renderer-wide compute dtype (params stay f32; weight-norm is computed in
 # f32 then cast).  Set via `render_compute_dtype(jnp.bfloat16)` around the
@@ -65,6 +66,35 @@ class LinearWN(nn.Module):
         return x.astype(cd) @ w + b.astype(cd)
 
 
+def _grouped_conv(x, w, stride: int, padding: int, groups: int) -> jnp.ndarray:
+    """Grouped conv as per-group separate convs.  XLA's TPU lowering of
+    feature_group_count>1 falls off the MXU fast path for these small group
+    counts (the decoder's verts/tex split, groups=2); running the groups as
+    independent convs and concatenating is mathematically identical and
+    keeps each matmul dense."""
+    if groups == 1:
+        return jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(stride, stride),
+            padding=[(padding, padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    cin_g = x.shape[-1] // groups
+    cout_g = w.shape[-1] // groups
+    outs = []
+    for gi in range(groups):
+        outs.append(
+            jax.lax.conv_general_dilated(
+                x[..., gi * cin_g : (gi + 1) * cin_g],
+                w[..., gi * cout_g : (gi + 1) * cout_g],
+                window_strides=(stride, stride),
+                padding=[(padding, padding)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        )
+    return jnp.concatenate(outs, axis=-1)
+
+
 class Conv2dWN(nn.Module):
     features: int
     kernel_size: int = 3
@@ -82,13 +112,7 @@ class Conv2dWN(nn.Module):
         g = self.param("g", nn.initializers.ones, (self.features,))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         w = _wn_kernel(v, g)
-        out = jax.lax.conv_general_dilated(
-            x.astype(w.dtype), w,
-            window_strides=(self.stride, self.stride),
-            padding=[(self.padding, self.padding)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-        )
+        out = _grouped_conv(x.astype(w.dtype), w, self.stride, self.padding, self.groups)
         return out + b.astype(w.dtype)
 
 
@@ -116,13 +140,7 @@ class Conv2dWNUB(nn.Module):
             "bias", nn.initializers.zeros, (self.height, self.width, self.features)
         )
         w = _wn_kernel(v, g)
-        out = jax.lax.conv_general_dilated(
-            x.astype(w.dtype), w,
-            window_strides=(self.stride, self.stride),
-            padding=[(self.padding, self.padding)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-        )
+        out = _grouped_conv(x.astype(w.dtype), w, self.stride, self.padding, self.groups)
         return out + bias[None].astype(w.dtype)
 
 
@@ -168,33 +186,72 @@ class ConvTranspose2dWNUB(nn.Module):
         return out + bias[None].astype(cd)
 
 
+def _upsample2x_half_pixel(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2× bilinear upsample with half-pixel centers (align_corners=
+    False), gather-free: output rows interleave 0.25/0.75 blends of adjacent
+    input rows (edge-clamped), same along columns.  This is the
+    forward_tex 1024→2048 hot path (mesh_vae_drivable.py:236)."""
+
+    def up_axis(v, axis):
+        lo = jnp.concatenate(
+            [jax.lax.slice_in_dim(v, 0, 1, axis=axis), v], axis=axis
+        )  # v[i-1] clamped
+        hi = jnp.concatenate(
+            [v, jax.lax.slice_in_dim(v, v.shape[axis] - 1, v.shape[axis], axis=axis)],
+            axis=axis,
+        )  # v[i+1] clamped
+        prev = jax.lax.slice_in_dim(lo, 0, v.shape[axis], axis=axis)
+        nxt = jax.lax.slice_in_dim(hi, 1, v.shape[axis] + 1, axis=axis)
+        even = 0.25 * prev + 0.75 * v  # sample at i − 0.25
+        odd = 0.75 * v + 0.25 * nxt  # sample at i + 0.25
+        stacked = jnp.stack([even, odd], axis=axis + 1)
+        new_shape = list(v.shape)
+        new_shape[axis] = v.shape[axis] * 2
+        return stacked.reshape(new_shape)
+
+    return up_axis(up_axis(x, 1), 2)
+
+
+def _interp_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
+    """[n_out, n_in] bilinear interpolation matrix (2 nonzeros per row)."""
+    if align_corners and n_out > 1:
+        pos = np.linspace(0.0, n_in - 1.0, n_out)
+    else:
+        pos = (np.arange(n_out) + 0.5) * n_in / n_out - 0.5
+    i0 = np.clip(np.floor(pos).astype(int), 0, n_in - 1)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    w = np.clip(pos - i0, 0.0, 1.0)
+    R = np.zeros((n_out, n_in), np.float32)
+    R[np.arange(n_out), i0] += 1 - w
+    R[np.arange(n_out), i1] += w
+    return R
+
+
 def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int], align_corners: bool = False) -> jnp.ndarray:
     """F.interpolate(mode='bilinear') equivalent, NHWC.
 
-    The align_corners=True path (torch UpsamplingBilinear2d semantics, used by
-    every UpConvBlockDeep) is written as separable row/column takes + lerp —
-    4 contiguous gathers instead of 8 nested fancy-index gathers, which
-    dominated the 1024² decoder's runtime."""
+    TPU-native formulation: separable interpolation as two small MATMULS
+    against static [n_out, n_in] weight matrices (2 nonzeros per row).  Row
+    pass contracts with W·C as the minor dim; the column pass runs in a
+    W-minor transposed layout — both MXU-friendly.  Gather/fancy-index
+    formulations of the same resize measured 1.5-2× slower on this
+    toolchain, and TPU strided slices are pathologically slow.  The 2×
+    half-pixel upsample (forward_tex's 1024→2048) uses a gather-free
+    interleave instead."""
     B, H, W, C = x.shape
     Ho, Wo = size
-    if align_corners and Ho > 1 and Wo > 1:
-        ys = jnp.linspace(0.0, H - 1.0, Ho)
-        xs = jnp.linspace(0.0, W - 1.0, Wo)
-        y0 = jnp.floor(ys).astype(jnp.int32)
-        x0 = jnp.floor(xs).astype(jnp.int32)
-        y1 = jnp.minimum(y0 + 1, H - 1)
-        x1 = jnp.minimum(x0 + 1, W - 1)
-        wy = (ys - y0).astype(x.dtype)[None, :, None, None]
-        wx = (xs - x0).astype(x.dtype)[None, None, :, None]
-        # y direction first: [B, Ho, W, C]
-        top = jnp.take(x, y0, axis=1)
-        bot = jnp.take(x, y1, axis=1)
-        xy = top * (1 - wy) + bot * wy
-        # then x direction: [B, Ho, Wo, C]
-        left = jnp.take(xy, x0, axis=2)
-        right = jnp.take(xy, x1, axis=2)
-        return left * (1 - wx) + right * wx
-    return jax.image.resize(x, (B, Ho, Wo, C), method="bilinear")
+    if (Ho, Wo) == (H, W):
+        return x
+    if not align_corners and Ho == 2 * H and Wo == 2 * W:
+        return _upsample2x_half_pixel(x)
+    Ry = jnp.asarray(_interp_matrix(H, Ho, align_corners), x.dtype)
+    Rx = jnp.asarray(_interp_matrix(W, Wo, align_corners), x.dtype)
+    # rows: [Ho,H] × [B,H,(W·C)]
+    y = jnp.einsum("oh,bhx->box", Ry, x.reshape(B, H, W * C)).reshape(B, Ho, W, C)
+    # cols in W-minor layout: [Wo,W] × [B,Ho,C,W]
+    yt = y.transpose(0, 1, 3, 2)
+    z = jnp.einsum("ow,bhcw->bhco", Rx, yt)
+    return z.transpose(0, 1, 3, 2)
 
 
 def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:

@@ -184,7 +184,9 @@ class ConvDecoder(nn.Module):
             face_conv * self.face_cond_mask[h2:, :h2][None]
             + embs_conv[:, h2:, :h2] * non_head[h2:, :h2][None]
         )
-        embs_conv = embs_conv.at[:, h2:, :h2].set(region)
+        # keep the update in the carrier dtype — a mixed-dtype .set upcasts
+        # (and copies) the whole buffer
+        embs_conv = embs_conv.at[:, h2:, :h2].set(region.astype(embs_conv.dtype))
 
         joint = jnp.concatenate([pose_conv, embs_conv], axis=-1)
         joint = ConvBlock(c.n_init_channels, S0, name="joint_conv_block")(joint)
@@ -338,7 +340,13 @@ class BodyAvatar(nn.Module):
         use_pose_shadow: bool = True,
         render: bool = True,
         noise_key=None,
+        render_display: bool = False,
     ) -> Dict[str, jnp.ndarray]:
+        """``render_display=True`` is the production video path: the display
+        transform (utils/image.py linear2displayBatch) runs densely over the
+        UV texture and the rasterizer samples a packed-RGB8 display-space
+        texture — preds["rgb"] is then display [0, 255] float (uint8-ready)
+        instead of linear.  Exact-linear rendering stays the default."""
         preds: Dict[str, jnp.ndarray] = {}
         if encode:
             enc = self.encode(geom, lbs_motion, face_embs, noise_key)
@@ -362,10 +370,16 @@ class BodyAvatar(nn.Module):
             from audio2photoreal_tpu.render.geometry import project_points
 
             pix, depth = project_points(geom_rec, K, Rt)
+            tex_out = tex_rec
+            if render_display:
+                from audio2photoreal_tpu.render.color import linear2display_batch
+
+                tex_out = linear2display_batch(tex_rec.astype(jnp.float32))
             rgb, raster = render_mesh(
                 pix, depth, self.assets.geo.faces, self.assets.geo.uv_coords,
-                self.assets.geo.uv_faces, tex_rec,
+                self.assets.geo.uv_faces, tex_out,
                 self.cfg.image_height, self.cfg.image_width,
+                packed_display=render_display,
             )
             preds.update(rgb=rgb, depth=raster.depth, pix_to_face=raster.face_index)
         return preds

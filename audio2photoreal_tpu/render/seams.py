@@ -47,8 +47,10 @@ class SeamSampler:
         ]
         flat = tex.reshape(B, H * W, C)
         dst_vals = flat[:, self.resample_dst]
-        w = self.resample_weights[None, :, None]
-        blended = dst_vals * (1.0 - w) + sampled * w
+        w = self.resample_weights[None, :, None].astype(tex.dtype)
+        blended = dst_vals * (1.0 - w) + sampled.astype(tex.dtype) * w
+        # keep the scatter in the texture's dtype — a mixed-dtype .set would
+        # upcast (and copy) the whole buffer
         flat = flat.at[:, self.resample_dst].set(blended)
         return flat.reshape(B, H, W, C)
 

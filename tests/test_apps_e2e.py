@@ -55,16 +55,20 @@ def trained(pipeline_dirs):
     return root
 
 
-def test_generate_results_layout(trained):
+@pytest.fixture(scope="module")
+def results_path(trained):
     from audio2photoreal_tpu.apps import generate
 
     root = trained
-    out = generate.generate(
+    return generate.generate(
         f"{root}/diff", root, num_samples=2, guidance_param=2.0,
         timestep_respacing="ddim3", guide_path=f"{root}/guide",
         vq_path=f"{root}/vq",
     )
-    r = np.load(out, allow_pickle=True).item()
+
+
+def test_generate_results_layout(results_path):
+    r = np.load(results_path, allow_pickle=True).item()
     # reference results.npy layout: motions [B, C, 1, T] (sample/generate.py:146-152)
     assert set(r.keys()) >= {"motions", "gt", "audio", "lengths"}
     assert r["motions"].shape[1:3] == (104, 1)
@@ -80,7 +84,7 @@ def test_generate_results_layout(trained):
     assert np.isfinite(m["fid_g"])
 
 
-def test_generate_plot_renders_two_cam_video(trained, tmp_path):
+def test_generate_plot_renders_two_cam_video(trained, results_path, tmp_path):
     """--plot photoreal path (reference sample/generate.py:155-207): pose
     results + face-codes results + ca_body renderer bundle → per-sample video
     with frames from BOTH cameras side-by-side, plus a GT pane video."""
@@ -94,10 +98,7 @@ def test_generate_plot_renders_two_cam_video(trained, tmp_path):
     )
     from audio2photoreal_tpu.render.mesh_vae import BodyAvatar, RendererConfig
 
-    root = trained
-    results = np.load(
-        f"{root}/diff/samples_ddim3_seed10/results.npy", allow_pickle=True
-    ).item()
+    results = np.load(results_path, allow_pickle=True).item()
     B = results["motions"].shape[0]
     T = results["motions"].shape[-1]
 

@@ -102,6 +102,34 @@ def test_film_denoiser_pose_shapes_and_cfg_null():
     assert not np.allclose(np.asarray(out2), np.asarray(out3))
 
 
+def test_cfg_per_sample_scale():
+    """cfg_model_fn accepts a per-sample scale tensor, broadcast
+    view(-1, 1, 1) like the reference (cfg_sampler.py:30-33)."""
+    from audio2photoreal_tpu.models.cfg import cfg_model_fn
+
+    cfg = tiny_pose_cfg()
+    model = FiLMDenoiser(cfg)
+    x, t, audio, kf, kv = _pose_batch()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "cond_drop": jax.random.PRNGKey(1)},
+        x, t, audio, kf, kv,
+    )
+    cond = model.apply(params, audio, kf, kv, method=FiLMDenoiser.encode_conditioning)
+
+    def apply_fn(p, xx, tt, cc, keep):
+        return model.apply(p, xx, tt, cc, keep, method=FiLMDenoiser.denoise)
+
+    B = x.shape[0]
+    scales = jnp.asarray(np.linspace(1.5, 3.0, B).astype(np.float32))
+    out_vec = cfg_model_fn(apply_fn, params, cond, scales)(x, t)
+    # row b with per-sample scale s_b must equal the scalar-scale output
+    for b in (0, B - 1):
+        out_scalar = cfg_model_fn(apply_fn, params, cond, float(scales[b]))(x, t)
+        np.testing.assert_allclose(
+            np.asarray(out_vec[b]), np.asarray(out_scalar[b]), atol=1e-5
+        )
+
+
 def test_film_denoiser_face_shapes():
     cfg = tiny_face_cfg()
     model = FiLMDenoiser(cfg)

@@ -22,8 +22,11 @@ def test_pallas_matches_xla_rasterizer(seed):
     H = W = 64
     pix, depth, faces = _random_mesh(seed=seed, H=H, W=W)
     ref = rasterize(pix, depth, faces, H, W)
-    face, bary, dep = rasterize_pallas(
-        pix, depth, faces, H, W, tile=(32, 32), chunk=8, interpret=True
+    rng = np.random.RandomState(seed + 7)
+    face_uv = jnp.asarray(rng.rand(faces.shape[0], 3, 2).astype(np.float32))
+    face, bary, dep, uv = rasterize_pallas(
+        pix, depth, faces, H, W, tile=(32, 32), chunk=8, interpret=True,
+        face_uv=face_uv,
     )
     ref_cov = np.asarray(ref.face_index[0] >= 0)
     pal_cov = np.asarray(face[0] >= 0)
@@ -40,13 +43,20 @@ def test_pallas_matches_xla_rasterizer(seed):
         np.asarray(ref.barys[0])[covered & same_face],
         atol=1e-4,
     )
+    # in-kernel UV interpolation == bary-weighted corner UVs
+    sel = covered & same_face
+    fidx = np.asarray(face[0])[sel]
+    b = np.asarray(bary[0])[sel]
+    fuv = np.asarray(face_uv)[fidx]  # [N, 3, 2]
+    ref_uv = (fuv * b[..., None]).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(uv[0])[sel], ref_uv, atol=1e-4)
 
 
 def test_pallas_single_triangle():
     pix = jnp.array([[[2.0, 2.0], [40.0, 2.0], [2.0, 40.0]]])
     depth = jnp.array([[1.0, 2.0, 3.0]])
     faces = jnp.array([[0, 1, 2]])
-    face, bary, dep = rasterize_pallas(
+    face, bary, dep, _ = rasterize_pallas(
         pix, depth, faces, 48, 48, tile=(16, 16), chunk=8, interpret=True
     )
     assert int(face[0, 3, 3]) == 0

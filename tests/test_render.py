@@ -258,6 +258,71 @@ def test_render_mesh_textures_inside_only():
     assert float(img[0, 15, 15, 0]) == 0.0
 
 
+def test_packed_rgb8_grid_sample_matches_f32():
+    """The packed-RGB8 sampler (single-channel int32 gathers) must equal the
+    f32 bilinear path on an already-quantized texture."""
+    from audio2photoreal_tpu.ops.gridsample import (
+        grid_sample_bilinear,
+        grid_sample_bilinear_packed,
+        pack_rgb8,
+        unpack_rgb8,
+    )
+
+    rng = np.random.RandomState(0)
+    tex = np.round(rng.rand(1, 16, 16, 3) * 255).astype(np.float32)
+    grid = jnp.asarray(rng.rand(1, 9, 7, 2).astype(np.float32) * 1.8 - 0.9)
+    ref = grid_sample_bilinear(jnp.asarray(tex), grid, align_corners=False,
+                               padding_zero=False)
+    packed = pack_rgb8(jnp.asarray(tex))
+    np.testing.assert_array_equal(np.asarray(unpack_rgb8(packed)), tex)
+    out = grid_sample_bilinear_packed(packed, grid, align_corners=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+    # quad variant (one gather per pixel) must agree too, incl. the borders
+    from audio2photoreal_tpu.ops.gridsample import (
+        grid_sample_bilinear_quad,
+        make_quad_texture,
+    )
+
+    quad = make_quad_texture(packed)
+    out_q = grid_sample_bilinear_quad(quad, grid, align_corners=False)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref), atol=1e-3)
+    edge_grid = jnp.asarray(
+        np.array([[[[-1.2, -1.2]], [[1.2, 1.2]], [[-1.2, 0.9]], [[0.99, -0.99]]]],
+                 np.float32)
+    )
+    ref_e = grid_sample_bilinear(jnp.asarray(tex), edge_grid, align_corners=False,
+                                 padding_zero=False)
+    out_e = grid_sample_bilinear_quad(quad, edge_grid, align_corners=False)
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(ref_e), atol=1e-3)
+
+
+def test_render_mesh_packed_display_close_to_linear_path():
+    """Display-packed rendering == display(linear rendering) up to the 8-bit
+    texture quantization (≤1 display-space step plus bilinear mixing)."""
+    from audio2photoreal_tpu.render.color import linear2display_batch
+    from audio2photoreal_tpu.render.rasterizer import render_mesh
+
+    rng = np.random.RandomState(1)
+    pix = jnp.asarray(np.array([[[2.0, 2.0], [13.0, 2.0], [2.0, 13.0]]], np.float32))
+    depth = jnp.ones((1, 3))
+    faces = jnp.asarray(np.array([[0, 1, 2]]))
+    uvc = jnp.asarray(np.array([[0.1, 0.1], [0.9, 0.1], [0.1, 0.9]], np.float32))
+    tex_lin = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32) * 200)
+    img_lin, _ = render_mesh(pix, depth, faces, uvc, faces, tex_lin, 16, 16)
+    ref = np.asarray(linear2display_batch(img_lin))
+    tex_disp = linear2display_batch(tex_lin)
+    img_packed, raster = render_mesh(
+        pix, depth, faces, uvc, faces, tex_disp, 16, 16, packed_display=True
+    )
+    covered = np.asarray(raster.face_index) >= 0
+    diff = np.abs(np.asarray(img_packed) - ref)[covered]
+    # display(lerp(linear)) vs lerp(display(quantized)) differ by gamma
+    # curvature over the lerp; texels here are random so allow a loose bound
+    # while requiring most pixels close
+    assert np.median(diff) < 8.0, float(np.median(diff))
+
+
 # ---------------- seams / color ----------------
 
 

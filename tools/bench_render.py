@@ -56,13 +56,119 @@ def main(frame_batch: int = 4, n_runs: int = 5, image=(1024, 704)):
     from audio2photoreal_tpu.render.layers import render_compute_dtype
 
     def render(p, motion, campos, K, Rt, embs, face_embs):
+        # display-packed fast path — the production video pipeline
+        # (render_texture_packed: single-channel int32 texture gathers)
         with render_compute_dtype(jnp.bfloat16):
             return model.apply(
                 p, motion, campos, embs=embs, face_embs_body=face_embs,
-                encode=False, render=True, K=K, Rt=Rt,
+                encode=False, render=True, K=K, Rt=Rt, render_display=True,
             )["rgb"]
 
-    print("compile render", file=sys.stderr, flush=True)
+    def stage_decode(p, motion, campos, K, Rt, embs, face_embs):
+        with render_compute_dtype(jnp.bfloat16):
+            preds = model.apply(
+                p, motion, campos, embs=embs, face_embs_body=face_embs,
+                encode=False, render=False,
+            )
+        return preds["tex_rec"], preds["geom"]
+
+    def time_fn(fn, *args, tag=""):
+        c = jax.jit(fn)
+        out = c(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n_runs):
+            out = c(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / n_runs
+        print(f"stage {tag}: {dt*1000/B:.1f} ms/frame", file=sys.stderr, flush=True)
+        return c, dt
+
+    print("compile decode stage", file=sys.stderr, flush=True)
+    dec_c, dt_dec = time_fn(stage_decode, params, motion, campos, K, Rt, embs,
+                            face_embs, tag="decode(no render)")
+    tex_rec, geom = dec_c(params, motion, campos, K, Rt, embs, face_embs)
+
+    # decode sub-stages
+    def sub_conv_decoder(p, motion, embs, face_embs):
+        with render_compute_dtype(jnp.bfloat16):
+            return model.apply(
+                p, motion, embs, face_embs,
+                method=lambda m, mo, e, f: m.decoder(mo, e, f),
+            )["tex_mean_rec"]
+
+    def sub_view_unet(p, geom, tex, campos):
+        with render_compute_dtype(jnp.bfloat16):
+            return model.apply(
+                p, geom, tex, campos,
+                method=lambda m, g, t, c: m.decoder_view(g, t, c),
+            )["tex_view_rec"]
+
+    def sub_shadow(p, motion):
+        with render_compute_dtype(jnp.bfloat16):
+            return model.apply(
+                p, motion, method=lambda m, mo: m.pose_to_shadow(mo)
+            )["shadow_map"]
+
+    def sub_forward_tex(p, tex_mean, tex_view, shadow):
+        with render_compute_dtype(jnp.bfloat16):
+            return model.apply(
+                p, tex_mean, tex_view, shadow, method=BodyAvatar.forward_tex
+            )
+
+    tm = jax.jit(sub_conv_decoder)(params, motion, embs, face_embs)
+    time_fn(sub_conv_decoder, params, motion, embs, face_embs, tag="  conv_decoder")
+    tv = jax.jit(sub_view_unet)(params, geom, tm, campos)
+    time_fn(sub_view_unet, params, geom, tm, campos, tag="  view_unet")
+    sh = jax.jit(sub_shadow)(params, motion)
+    time_fn(sub_shadow, params, motion, tag="  pose_shadow")
+    time_fn(sub_forward_tex, params, tm, tv, sh, tag="  forward_tex")
+
+    from audio2photoreal_tpu.render.color import linear2display_batch
+    from audio2photoreal_tpu.render.geometry import project_points
+    from audio2photoreal_tpu.render.rasterizer import (
+        interpolate_uv,
+        rasterize,
+        render_texture,
+        render_texture_packed,
+    )
+
+    def stage_raster(geom, K, Rt):
+        pix, depth = project_points(geom, K, Rt)
+        return rasterize(pix, depth, assets.geo.faces, cfg.image_height, cfg.image_width)
+
+    rast_c, dt_rast = time_fn(stage_raster, geom, K, Rt, tag="rasterize")
+    raster = rast_c(geom, K, Rt)
+    uv_c, _ = time_fn(
+        lambda r: interpolate_uv(r, assets.geo.uv_coords, assets.geo.uv_faces),
+        raster, tag="interpolate_uv",
+    )
+    uv_pix = uv_c(raster)
+    time_fn(lambda t: linear2display_batch(t.astype(jnp.float32)), tex_rec,
+            tag="linear2display 2048²")
+
+    _, dt_tex_f32 = time_fn(
+        lambda r, uv, t: render_texture(r, uv, t), raster, uv_pix, tex_rec,
+        tag="texture f32 gather",
+    )
+    tex_disp = jax.jit(linear2display_batch)(tex_rec.astype(jnp.float32))
+    _, dt_tex_packed = time_fn(
+        lambda r, uv, t: render_texture_packed(r, uv, t), raster, uv_pix, tex_disp,
+        tag="texture quad-rgb8 gather (incl. quad build)",
+    )
+    from audio2photoreal_tpu.ops.gridsample import (
+        grid_sample_bilinear_quad,
+        make_quad_texture,
+        pack_rgb8,
+    )
+
+    quad = jax.jit(lambda t: make_quad_texture(pack_rgb8(t)))(tex_disp)
+    _, dt_gather_only = time_fn(
+        lambda uv, q: grid_sample_bilinear_quad(q, uv * 2.0 - 1.0),
+        uv_pix, quad, tag="quad gather only",
+    )
+
+    print("compile full render (display-packed)", file=sys.stderr, flush=True)
     rc = jax.jit(render)
     out = rc(params, motion, campos, K, Rt, embs, face_embs)
     jax.block_until_ready(out)

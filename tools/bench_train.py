@@ -57,13 +57,26 @@ def main(B=64, T=600, n_steps=10):
         state, m = step(state, batch, jax.random.PRNGKey(3 + i))
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / n_steps
-    print(
-        json.dumps(
-            {"metric": "train_steps_per_sec_pose_bs64_T600", "value": round(1 / dt, 3),
-             "unit": "steps_per_sec", "vs_baseline": round((1 / dt) * 3600 * 24 / 800_000, 2),
-             "note": "vs_baseline = 800k-step schedules completable per day"}
-        )
-    )
+    # achieved FLOPs/s vs v5e bf16 peak (197 TFLOP/s) — best effort
+    mfu = None
+    try:
+        ca = step.lower(state, batch, jax.random.PRNGKey(2)).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops / dt / 197e12
+    except Exception as e:  # pragma: no cover
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
+    result = {
+        "metric": "train_steps_per_sec_pose_bs64_T600", "value": round(1 / dt, 3),
+        "unit": "steps_per_sec", "vs_baseline": round((1 / dt) * 3600 * 24 / 800_000, 2),
+        "note": "vs_baseline = 800k-step schedules completable per day",
+    }
+    if mfu is not None:
+        result["mfu_vs_v5e_bf16_peak"] = round(mfu, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
