@@ -72,21 +72,53 @@ class UpConvBlockDeep(nn.Module):
     size: int  # output size
     groups: int = 1
 
+    def _use_s2d(self, cin: int) -> bool:
+        # the s2d path wins when the conv is lane-bound: big spatial extent,
+        # few channels (≤ 32 per group fills ≤ a quarter of the 128 lanes)
+        return (
+            self.size >= 256
+            and cin % self.groups == 0
+            and self.out_channels % self.groups == 0
+            and cin // self.groups <= 32
+            and self.out_channels // self.groups <= 32
+        )
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cin = x.shape[-1]
         x_up = resize_bilinear(x, (self.size, self.size), align_corners=True)
+        if not self._use_s2d(cin):
+            skip = Conv2dWN(
+                self.out_channels, kernel_size=1, padding=0, groups=self.groups,
+                name="conv_resize",
+            )(x_up)
+            h = Conv2dWNUB(cin, self.size, self.size, 3, 1, 1, groups=self.groups, name="conv1")(x_up)
+            h = lrelu(h)
+            h = Conv2dWNUB(
+                self.out_channels, self.size, self.size, 3, 1, 1, groups=self.groups, name="conv2"
+            )(h)
+            h = lrelu(h)
+            return h + skip
+        # ---- space-to-depth fast path: identical math, full vector lanes ----
+        # the SAME WN layer modules declare the parameters (identical trees /
+        # converters); `s2d=True` runs their conv algebra in s2d coordinates
+        from audio2photoreal_tpu.render.layers import depth_to_space, space_to_depth
+
+        s = space_to_depth(x_up)
         skip = Conv2dWN(
             self.out_channels, kernel_size=1, padding=0, groups=self.groups,
             name="conv_resize",
-        )(x_up)
-        h = Conv2dWNUB(cin, self.size, self.size, 3, 1, 1, groups=self.groups, name="conv1")(x_up)
+        )(s, s2d=True)
+        h = Conv2dWNUB(
+            cin, self.size, self.size, 3, 1, 1, groups=self.groups, name="conv1"
+        )(s, s2d=True)
         h = lrelu(h)
         h = Conv2dWNUB(
-            self.out_channels, self.size, self.size, 3, 1, 1, groups=self.groups, name="conv2"
-        )(h)
+            self.out_channels, self.size, self.size, 3, 1, 1, groups=self.groups,
+            name="conv2",
+        )(h, s2d=True)
         h = lrelu(h)
-        return h + skip
+        return depth_to_space(h + skip)
 
 
 class UpscaleNet(nn.Module):
@@ -100,13 +132,21 @@ class UpscaleNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # two 3×3 convs (reference blocks.py:761-766), then the 1×1 out block
-        h = Conv2dWNUB(self.n_ftrs, self.size, self.size, 3, 1, 1, name="conv_block0")(x)
+        # two 3×3 convs (reference blocks.py:761-766), then the 1×1 out block.
+        # ≤16-channel convs at 1024² are lane-bound — run them in s2d coords
+        s2d = self.size >= 256 and x.shape[-1] <= 32 and self.n_ftrs <= 32
+        if s2d:
+            from audio2photoreal_tpu.render.layers import depth_to_space, space_to_depth
+
+            x = space_to_depth(x)
+        h = Conv2dWNUB(self.n_ftrs, self.size, self.size, 3, 1, 1, name="conv_block0")(x, s2d=s2d)
         h = lrelu(h)
-        h = Conv2dWNUB(self.n_ftrs, self.size, self.size, 3, 1, 1, name="conv_block1")(h)
+        h = Conv2dWNUB(self.n_ftrs, self.size, self.size, 3, 1, 1, name="conv_block1")(h, s2d=s2d)
         h = lrelu(h)
         h = Conv2dWNUB(
             self.out_channels * self.upscale_factor**2,
             self.size, self.size, 1, 1, 0, name="out_block",
-        )(h)
+        )(h, s2d=s2d)
+        if s2d:
+            h = depth_to_space(h)
         return pixel_shuffle(h, self.upscale_factor)

@@ -66,6 +66,146 @@ class LinearWN(nn.Module):
         return x.astype(cd) @ w + b.astype(cd)
 
 
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] → [B, H/2, W/2, 4C], channel layout (ry, rx, c)."""
+    B, H, W, C = x.shape
+    return (
+        x.reshape(B, H // 2, 2, W // 2, 2, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, H // 2, W // 2, 4 * C)
+    )
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of space_to_depth."""
+    B, H2, W2, C4 = x.shape
+    C = C4 // 4
+    return (
+        x.reshape(B, H2, W2, 2, 2, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, H2 * 2, W2 * 2, C)
+    )
+
+
+def _s2d_conv3x3_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """[3, 3, Cin, Cout] → the equivalent [3, 3, 4Cin, 4Cout] kernel in
+    space-to-depth coordinates.
+
+    A stride-1 3×3 conv on [H, W, C] equals a 3×3 conv on the s2d tensor
+    [H/2, W/2, 4C] with a structured (56% zero) kernel.  Worth 4× the FLOPs:
+    C≤32 convs at 1024² are LANE-bound on TPU (channels fill 32/128 vector
+    lanes) — the s2d form runs with full lanes and measured ~2× faster."""
+    cin, cout = w.shape[2], w.shape[3]
+    # index arrays over (q+1, r, d): ky = 2q + r − d + 1
+    q = np.arange(3) - 1
+    r = np.arange(2)
+    d = np.arange(2)
+    ky = 2 * q[:, None, None] + r[None, :, None] - d[None, None, :] + 1  # [3,2,2]
+    valid = (ky >= 0) & (ky < 3)
+    kyc = np.clip(ky, 0, 2)
+    # explicit takes build [qy, ry, dy, qx, rx, dx, cin, cout]
+    w_y = jnp.take(w, jnp.asarray(kyc.reshape(-1)), axis=0).reshape(3, 2, 2, 3, cin, cout)
+    # w_y[qy, ry, dy, kx, cin, cout]; now index kx the same way
+    w_yx = jnp.take(w_y, jnp.asarray(kyc.reshape(-1)), axis=3).reshape(
+        3, 2, 2, 3, 2, 2, cin, cout
+    )
+    # w_yx[qy, ry, dy, qx, rx, dx, cin, cout]
+    mask = jnp.asarray(
+        (valid[:, :, :, None, None, None] & valid[None, None, None, :, :, :]).astype(
+            np.float32
+        )
+    )  # [3,2,2,3,2,2]
+    w_yx = w_yx * mask[..., None, None].astype(w.dtype)
+    # → [qy, qx, (ry, rx, cin), (dy, dx, cout)]
+    w2 = w_yx.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(3, 3, 4 * cin, 4 * cout)
+    return w2
+
+
+def conv3x3_s2d(x_s2d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-1 pad-1 3×3 conv applied in space-to-depth coordinates.
+    x_s2d: [B, H/2, W/2, 4Cin]; w: the ORIGINAL [3, 3, Cin, Cout]."""
+    w2 = _s2d_conv3x3_kernel(w)
+    return jax.lax.conv_general_dilated(
+        x_s2d, w2, (1, 1), [(1, 1)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def conv1x1_s2d(x_s2d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """1×1 conv in s2d coordinates: block-diagonal [4Cin, 4Cout] matmul
+    (each spatial phase maps through the same [Cin, Cout])."""
+    cin, cout = w.shape[2], w.shape[3]
+    blocks = jnp.zeros((4, cin, 4, cout), w.dtype)
+    idx = jnp.arange(4)
+    blocks = blocks.at[idx, :, idx, :].set(jnp.repeat(w[0, 0][None], 4, axis=0))
+    w2 = blocks.reshape(1, 1, 4 * cin, 4 * cout)
+    return jax.lax.conv_general_dilated(
+        x_s2d, w2, (1, 1), [(0, 0)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def _s2d_down4x4_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """[4, 4, Cin, Cout] stride-2 pad-1 conv → [3, 3, 4Cin, Cout] stride-1
+    pad-1 kernel consuming s2d input and emitting the half-res grid directly
+    (ky = 2q + r + 1)."""
+    cin, cout = w.shape[2], w.shape[3]
+    q = np.arange(3) - 1
+    r = np.arange(2)
+    ky = 2 * q[:, None] + r[None, :] + 1  # [3, 2]
+    valid = (ky >= 0) & (ky < 4)
+    kyc = np.clip(ky, 0, 3)
+    w_y = jnp.take(w, jnp.asarray(kyc.reshape(-1)), axis=0).reshape(3, 2, 4, cin, cout)
+    w_yx = jnp.take(w_y, jnp.asarray(kyc.reshape(-1)), axis=2).reshape(
+        3, 2, 3, 2, cin, cout
+    )
+    mask = jnp.asarray(
+        (valid[:, :, None, None] & valid[None, None, :, :]).astype(np.float32)
+    )
+    w_yx = w_yx * mask[..., None, None].astype(w.dtype)
+    # [qy, qx, (ry, rx, cin), cout]
+    return w_yx.transpose(0, 2, 1, 3, 4, 5).reshape(3, 3, 4 * cin, cout)
+
+
+def conv4x4s2_s2d(x_s2d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """4×4 stride-2 pad-1 conv evaluated on the s2d input → normal-layout
+    half-res output."""
+    w2 = _s2d_down4x4_kernel(w)
+    return jax.lax.conv_general_dilated(
+        x_s2d, w2, (1, 1), [(1, 1)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def _s2d_upT4x4_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose 4×4 stride-2 pad-1, weight [4, 4, Cout, Cin] (this
+    framework's ConvTranspose layout) → [3, 3, Cin, 4Cout] stride-1 pad-1
+    kernel consuming the normal low-res input and emitting the s2d form of
+    the 2× output (k = d + 1 − 2q)."""
+    cout, cin = w.shape[2], w.shape[3]
+    q = np.arange(3) - 1
+    d = np.arange(2)
+    k = d[None, :] + 1 - 2 * q[:, None]  # [3, 2]
+    valid = (k >= 0) & (k < 4)
+    kc = np.clip(k, 0, 3)
+    w_y = jnp.take(w, jnp.asarray(kc.reshape(-1)), axis=0).reshape(3, 2, 4, cout, cin)
+    w_yx = jnp.take(w_y, jnp.asarray(kc.reshape(-1)), axis=2).reshape(
+        3, 2, 3, 2, cout, cin
+    )
+    mask = jnp.asarray(
+        (valid[:, :, None, None] & valid[None, None, :, :]).astype(np.float32)
+    )
+    w_yx = w_yx * mask[..., None, None].astype(w.dtype)
+    # [qy, qx, cin, (dy, dx, cout)]
+    return w_yx.transpose(0, 2, 5, 1, 3, 4).reshape(3, 3, cin, 4 * cout)
+
+
+def convT4x4s2_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose 4×4 stride-2 pad-1 emitting the s2d form of the 2×
+    output ([B, H, W, 4Cout] on the INPUT grid)."""
+    w2 = _s2d_upT4x4_kernel(w)
+    return jax.lax.conv_general_dilated(
+        x, w2, (1, 1), [(1, 1)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
 def _grouped_conv(x, w, stride: int, padding: int, groups: int) -> jnp.ndarray:
     """Grouped conv as per-group separate convs.  XLA's TPU lowering of
     feature_group_count>1 falls off the MXU fast path for these small group
@@ -95,6 +235,24 @@ def _grouped_conv(x, w, stride: int, padding: int, groups: int) -> jnp.ndarray:
     return jnp.concatenate(outs, axis=-1)
 
 
+def _s2d_grouped(x_s2d: jnp.ndarray, w: jnp.ndarray, groups: int, conv_fn) -> jnp.ndarray:
+    """Run a per-group s2d conv: the s2d channel layout interleaves
+    (phase, c), so group-split happens on the inner c axis."""
+    if groups == 1:
+        return conv_fn(x_s2d, w)
+    B, H, W, C4 = x_s2d.shape
+    C = C4 // 4
+    cg = C // groups
+    xg = x_s2d.reshape(B, H, W, 4, C)
+    outs = []
+    cout_g = w.shape[-1] // groups
+    for gi in range(groups):
+        xi = xg[..., gi * cg : (gi + 1) * cg].reshape(B, H, W, 4 * cg)
+        wi = w[..., gi * cout_g : (gi + 1) * cout_g]
+        outs.append(conv_fn(xi, wi).reshape(B, H, W, 4, cout_g))
+    return jnp.concatenate(outs, axis=-1).reshape(B, H, W, 4 * cout_g * groups)
+
+
 class Conv2dWN(nn.Module):
     features: int
     kernel_size: int = 3
@@ -103,8 +261,8 @@ class Conv2dWN(nn.Module):
     groups: int = 1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cin = x.shape[-1]
+    def __call__(self, x: jnp.ndarray, s2d: bool = False) -> jnp.ndarray:
+        cin = (x.shape[-1] // 4) if s2d else x.shape[-1]
         k = self.kernel_size
         v = self.param(
             "v", nn.initializers.lecun_normal(), (k, k, cin // self.groups, self.features)
@@ -112,6 +270,14 @@ class Conv2dWN(nn.Module):
         g = self.param("g", nn.initializers.ones, (self.features,))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         w = _wn_kernel(v, g)
+        if s2d:
+            # identical math in space-to-depth coordinates (full vector lanes)
+            assert self.stride == 1
+            fn = conv3x3_s2d if k == 3 else conv1x1_s2d
+            assert k in (1, 3)
+            out = _s2d_grouped(x.astype(w.dtype), w, self.groups, fn)
+            B, H, W, _ = out.shape
+            return out + jnp.tile(b.astype(w.dtype), 4)[None, None, None]
         out = _grouped_conv(x.astype(w.dtype), w, self.stride, self.padding, self.groups)
         return out + b.astype(w.dtype)
 
@@ -129,8 +295,10 @@ class Conv2dWNUB(nn.Module):
     groups: int = 1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cin = x.shape[-1]
+    def __call__(
+        self, x: jnp.ndarray, s2d: bool = False, s2d_down: bool = False
+    ) -> jnp.ndarray:
+        cin = (x.shape[-1] // 4) if (s2d or s2d_down) else x.shape[-1]
         k = self.kernel_size
         v = self.param(
             "v", nn.initializers.lecun_normal(), (k, k, cin // self.groups, self.features)
@@ -140,6 +308,16 @@ class Conv2dWNUB(nn.Module):
             "bias", nn.initializers.zeros, (self.height, self.width, self.features)
         )
         w = _wn_kernel(v, g)
+        if s2d_down:
+            # 4×4 stride-2 conv consuming s2d input → normal half-res output
+            assert self.stride == 2 and k == 4 and self.padding == 1 and self.groups == 1
+            out = conv4x4s2_s2d(x.astype(w.dtype), w)
+            return out + bias[None].astype(w.dtype)
+        if s2d:
+            assert self.stride == 1 and k in (1, 3)
+            fn = conv3x3_s2d if k == 3 else conv1x1_s2d
+            out = _s2d_grouped(x.astype(w.dtype), w, self.groups, fn)
+            return out + space_to_depth(bias[None].astype(w.dtype))
         out = _grouped_conv(x.astype(w.dtype), w, self.stride, self.padding, self.groups)
         return out + bias[None].astype(w.dtype)
 
@@ -168,7 +346,7 @@ class ConvTranspose2dWNUB(nn.Module):
     padding: int = 1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, s2d_out: bool = False) -> jnp.ndarray:
         cin = x.shape[-1]
         k = self.kernel_size
         # stored [Kh, Kw, Cout, Cin] to mirror torch's [Cin, Cout, Kh, Kw]
@@ -182,6 +360,11 @@ class ConvTranspose2dWNUB(nn.Module):
         norm = jnp.sqrt((v**2).sum() + 1e-12)
         cd = compute_dtype()
         w = (v * (g.reshape(1, 1, -1, 1) / norm)).astype(cd)
+        if s2d_out:
+            # emit the 2× output in s2d form on the input grid
+            assert k == 4 and self.stride == 2 and self.padding == 1
+            out = convT4x4s2_s2d(x.astype(cd), w)
+            return out + space_to_depth(bias[None].astype(cd))
         out = _conv_transpose(x.astype(cd), w, self.stride, self.padding)
         return out + bias[None].astype(cd)
 

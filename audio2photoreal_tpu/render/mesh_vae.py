@@ -200,10 +200,26 @@ class ConvDecoder(nn.Module):
         x = self.seam.resample(x)
 
         verts_features, tex_features = jnp.split(x, 2, axis=-1)
-        from audio2photoreal_tpu.render.layers import Conv2dWNUB
+        from audio2photoreal_tpu.render.layers import (
+            Conv2dWNUB,
+            depth_to_space,
+            space_to_depth,
+        )
 
-        verts_uv_delta = Conv2dWNUB(3, c.uv_size, c.uv_size, 3, 1, 1, name="verts_conv")(verts_features)
-        tex_mean_rec = Conv2dWNUB(3, c.uv_size, c.uv_size, 3, 1, 1, name="tex_conv")(tex_features)
+        # final 3×3 convs (≤16 ch at uv_size²) are lane-bound — s2d coords
+        s2d = c.uv_size >= 256 and verts_features.shape[-1] <= 32
+        if s2d:
+            verts_features = space_to_depth(verts_features)
+            tex_features = space_to_depth(tex_features)
+        verts_uv_delta = Conv2dWNUB(3, c.uv_size, c.uv_size, 3, 1, 1, name="verts_conv")(
+            verts_features, s2d=s2d
+        )
+        tex_mean_rec = Conv2dWNUB(3, c.uv_size, c.uv_size, 3, 1, 1, name="tex_conv")(
+            tex_features, s2d=s2d
+        )
+        if s2d:
+            verts_uv_delta = depth_to_space(verts_uv_delta)
+            tex_mean_rec = depth_to_space(tex_mean_rec)
         verts_delta = self.geo.from_uv(verts_uv_delta)
         return {
             "geom_delta_rec": verts_delta,

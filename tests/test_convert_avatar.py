@@ -130,6 +130,23 @@ def test_up_conv_block_deep_grouped_matches_reference():
     _assert_close(out_j, out_t)
 
 
+def test_up_conv_block_deep_s2d_path_matches_reference():
+    """size ≥ 256 with ≤32 channels/group triggers the space-to-depth conv
+    algebra — must stay numerically equal to the reference block."""
+    from audio2photoreal_tpu.render.blocks import UpConvBlockDeep
+
+    ref = _rand_init(RefUpConvBlockDeep(32, 32, 256, groups=2))
+    x = torch.randn(1, 32, 128, 128)
+    with torch.no_grad():
+        out_t = ref(x)
+    sd = {f"b.{k}": v for k, v in ref.state_dict().items()}
+    params = {"params": convert._conv_block(sd, "b")}
+    blk = UpConvBlockDeep(32, 256, groups=2)
+    assert blk._use_s2d(32)
+    out_j = blk.apply(params, _nchw(x))
+    _assert_close(out_j, out_t, atol=1e-4)
+
+
 def test_unet_wb_matches_reference():
     from audio2photoreal_tpu.render.unet import UNetWB
 
@@ -141,6 +158,21 @@ def test_unet_wb_matches_reference():
     params = {"params": convert.convert_unet_wb(sd, "u")}
     out_j = UNetWB(3, 64, n_init_ftrs=4).apply(params, _nchw(x))
     _assert_close(out_j, out_t)
+
+
+def test_unet_wb_s2d_path_matches_reference():
+    """size ≥ 512 with F ≤ 16 triggers the s2d down/up conv algebra — must
+    stay numerically equal to the reference UNetWB."""
+    from audio2photoreal_tpu.render.unet import UNetWB
+
+    ref = _rand_init(RefUNetWB(4, 3, size=512, n_init_ftrs=8))
+    x = torch.randn(1, 4, 512, 512)
+    with torch.no_grad():
+        out_t = ref(x)
+    sd = {f"u.{k}": v for k, v in ref.state_dict().items()}
+    params = {"params": convert.convert_unet_wb(sd, "u")}
+    out_j = UNetWB(3, 512, n_init_ftrs=8).apply(params, _nchw(x))
+    _assert_close(out_j, out_t, atol=1e-4)
 
 
 def test_shadow_unet_matches_reference():

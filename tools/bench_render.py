@@ -188,4 +188,10 @@ def main(frame_batch: int = 4, n_runs: int = 5, image=(1024, 704)):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frame_batch", type=int, default=4)
+    ap.add_argument("--n_runs", type=int, default=5)
+    args = ap.parse_args()
+    main(frame_batch=args.frame_batch, n_runs=args.n_runs)
