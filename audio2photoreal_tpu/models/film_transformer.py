@@ -154,20 +154,23 @@ class FiLMDenoiser(nn.Module):
         frames = audio[..., 0].reshape(B, -1, 1600)
         T = frames.shape[1]
         chunk = 120
-        pad = (-T) % chunk
-        frames = jnp.pad(frames, ((0, 0), (0, pad), (0, 0)))
-        n_chunks = frames.shape[1] // chunk
-        stacked = frames.reshape(B * n_chunks, chunk, 1600)
+        n_full = T // chunk
+        rem = T % chunk
         # the reference chunks over TIME with the batch axis intact
-        # (diffusion.py:300-307), so its per-batch-row PE offset (see
-        # lip_regressor.py docstring) is pe[b] for every chunk of sample b —
-        # restacking chunks into the batch must preserve that row index
-        from audio2photoreal_tpu.ops.embeddings import absolute_pos_encoding
-
-        pe_rows = jnp.repeat(absolute_pos_encoding(B, 512), n_chunks, axis=0)
-        verts = self.lip_model(stacked, pe_rows=pe_rows)  # [B*n, chunk, 338, 3]
-        verts = jax.lax.stop_gradient(verts)
-        verts = verts.reshape(B, n_chunks * chunk, -1)[:, :T]  # [B, T, 1014]
+        # (diffusion.py:300-307) and runs the LAST chunk at its true length —
+        # padding would leak into the wav2vec group-norm stats and the
+        # encoder attention.  Chunks are position-independent (standard PE
+        # within each chunk), so they stack into the batch.
+        pieces = []
+        if n_full:
+            stacked = frames[:, : n_full * chunk].reshape(B * n_full, chunk, 1600)
+            v = self.lip_model(stacked)  # [B·n, chunk, 338, 3]
+            pieces.append(v.reshape(B, n_full * chunk, -1))
+        if rem:
+            v = self.lip_model(frames[:, n_full * chunk :])
+            pieces.append(v.reshape(B, rem, -1))
+        verts = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
+        verts = jax.lax.stop_gradient(verts)  # [B, T, 1014]
         # nearest-exact interpolation T → n_cond (diffusion.py:309-311)
         idx = jnp.clip(((jnp.arange(n_cond) + 0.5) * T / n_cond).astype(jnp.int32), 0, T - 1)
         return verts[:, idx, :]

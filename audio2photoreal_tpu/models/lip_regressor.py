@@ -7,15 +7,10 @@ zero sequence, projected to 338·3 lip vertex offsets.  Used as extra face
 conditioning from a frozen checkpoint (assets/iter-0200000.pt,
 diffusion.py:273-280).
 
-Positional-encoding quirk reproduced on purpose: the reference's
-``PositionalEncoding`` is constructed WITHOUT ``batch_first`` while the
-tensors are batch-first (transformer_modules.py:575-577, utils.py:42-65), so
-``x + pe[: x.shape[0]]`` adds ``pe[b]`` to every timestep of batch row ``b``
-— a constant per-row offset, not a per-position code.  The released
-checkpoint was trained with that behavior, so parity requires it.  Callers
-that restack time-chunks into the batch axis must pass ``pe_rows`` carrying
-each element's ORIGINAL batch index offset (the reference chunks over time
-with the batch axis intact, diffusion.py:300-307).
+Positional encoding: RegressionTransformer uses transformer_modules.py's OWN
+``PositionalEncoding`` (:281-302) — the standard batch-first per-position
+sin/cos added to both the zero decoder queries and the wav2vec memory (NOT
+model/utils.py's off-by-axis variant, which this model never touches).
 """
 
 from __future__ import annotations
@@ -85,22 +80,18 @@ class LipRegressor(nn.Module):
         self,
         audio_frames: jnp.ndarray,
         deterministic: bool = True,
-        pe_rows: Optional[jnp.ndarray] = None,  # [B, dim] per-row PE offsets
     ) -> jnp.ndarray:
         """[B, T, 1600] mono 48 kHz frames → [B, T, 338, 3] lip vertices."""
         B, T, _ = audio_frames.shape
-        cond = Wav2VecEncoder(name="audio_encoder")(audio_frames)  # [B, T, 512]
-        if pe_rows is None:
-            pe_rows = absolute_pos_encoding(B, self.dim)  # pe[b] per batch row
-        pe = pe_rows[:, None, :]  # broadcast over time (the reference quirk)
-        mem = cond + pe
+        cond = Wav2VecEncoder(name="audio_encoder")(audio_frames)  # [B, Tw, 512]
+        mem = cond + absolute_pos_encoding(cond.shape[1], self.dim)[None]
         for i in range(self.enc_layers):
             mem = _EncLayer(self.dim, self.heads, self.ff_size, name=f"enc_{i}")(
                 mem, deterministic
             )
-        # zero decoder queries + the same per-row offset (RegressionTransformer
-        # forward, transformer_modules.py:595-599)
-        x = jnp.broadcast_to(pe, (B, T, self.dim))
+        # zero decoder queries + standard positions (transformer_modules.py
+        # :595-599 — x starts as zeros, PE added per position)
+        x = jnp.broadcast_to(absolute_pos_encoding(T, self.dim)[None], (B, T, self.dim))
         for i in range(self.dec_layers):
             x = _DecLayer(self.dim, self.heads, self.ff_size, name=f"dec_{i}")(
                 x, mem, deterministic

@@ -70,3 +70,56 @@ class KVLogger:
             self._jsonl.close()
         if self._tb:
             self._tb.close()
+
+
+# --------------------------------------------------------------------- #
+# TrainPlatform strategy (reference train/train_platforms.py:10-56): a
+# pluggable experiment reporter.  The reference ships ClearML / Tensorboard /
+# NoPlatform; ClearML is a proprietary SaaS client, so the equivalent here is
+# the same strategy surface over KVLogger (Tensorboard/JSONL) plus a no-op —
+# external trackers plug in by subclassing TrainPlatform.
+
+
+class TrainPlatform:
+    """report_scalar/report_args/close strategy (train_platforms.py:10-24)."""
+
+    def __init__(self, save_dir: Optional[str] = None):
+        self.save_dir = save_dir
+
+    def report_scalar(self, name: str, value: float, iteration: int, group_name: str = "") -> None:
+        pass
+
+    def report_args(self, args, name: str = "args") -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+class NoPlatform(TrainPlatform):
+    """train_platforms.py:51-56."""
+
+
+class TensorboardPlatform(TrainPlatform):
+    """train_platforms.py:36-49 — backed by KVLogger's TB/JSONL writers."""
+
+    def __init__(self, save_dir: str):
+        super().__init__(save_dir)
+        self._logger = KVLogger(save_dir, tensorboard=True)
+
+    def report_scalar(self, name: str, value: float, iteration: int, group_name: str = "") -> None:
+        key = f"{group_name}/{name}" if group_name else name
+        self._logger.log(iteration, {key: float(value)})
+
+    def report_args(self, args, name: str = "args") -> None:
+        if self.save_dir:
+            import dataclasses
+
+            payload = (
+                dataclasses.asdict(args) if dataclasses.is_dataclass(args) else vars(args)
+            )
+            with open(os.path.join(self.save_dir, f"{name}.json"), "w") as f:
+                json.dump(payload, f, indent=1, default=str)
+
+    def close(self) -> None:
+        self._logger.close()

@@ -92,6 +92,28 @@ def test_timer_and_logger(tmp_path, capsys):
     assert (tmp_path / "log.jsonl").exists()
 
 
+def test_train_platform_strategy(tmp_path):
+    """TrainPlatform strategy surface (reference train_platforms.py:10-56)."""
+    from dataclasses import dataclass
+
+    from audio2photoreal_tpu.train.logging import NoPlatform, TensorboardPlatform
+
+    NoPlatform().report_scalar("x", 1.0, 0)  # no-op by contract
+
+    tp = TensorboardPlatform(str(tmp_path))
+    tp.report_scalar("loss", 0.5, iteration=3, group_name="train")
+    tp.report_scalar("loss", 0.25, iteration=4)
+
+    @dataclass
+    class A:
+        lr: float = 1e-4
+
+    tp.report_args(A(), name="args")
+    tp.close()
+    assert (tmp_path / "args.json").exists()
+    assert (tmp_path / "log.jsonl").exists()
+
+
 def test_aot_compile_runs():
     c = aot_compile("add", lambda x: x + 1, jnp.zeros((4,)), verbose=False)
     np.testing.assert_allclose(np.asarray(c(jnp.zeros((4,)))), 1.0)

@@ -222,6 +222,46 @@ def test_upscale_net_matches_reference():
     _assert_close(out_j, out_t)
 
 
+def test_color_pipeline_matches_reference_image_py():
+    """srgb2linear / linear2color_corr_inv / mapped2linear / dilate / erode
+    vs the real reference visualize/ca_body/utils/image.py."""
+    from visualize.ca_body.utils import image as ref_img
+
+    from audio2photoreal_tpu.render import color as our
+
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 8, 8, 3).astype(np.float32)
+    xt = torch.as_tensor(x)
+
+    np.testing.assert_allclose(
+        np.asarray(our.srgb2linear(jnp.asarray(x))), to_np(ref_img.srgb2linear(xt)),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(our.linear2color_corr_inv(jnp.asarray(x), -1)),
+        to_np(ref_img.linear2color_corr_inv(xt, -1)),
+        atol=1e-5,
+    )
+    ccm = [[0.9, 0.05, 0.05], [0.1, 0.8, 0.1], [0.0, 0.1, 0.9]]
+    dc = [0.01, 0.02, 0.03]
+    np.testing.assert_allclose(
+        np.asarray(our.mapped2linear(jnp.asarray(x), -1, ccm, dc, 2.2)),
+        np.asarray(ref_img.mapped2linear(x, -1, ccm, dc, 2.2)),
+        atol=1e-5,
+    )
+    m = (rng.rand(2, 10, 10) > 0.7)
+    np.testing.assert_array_equal(
+        np.asarray(our.dilate(jnp.asarray(m), 3)),
+        to_np(ref_img.dilate(torch.as_tensor(m), 3)[:, 0]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(our.erode(jnp.asarray(m), 3)),
+        to_np(ref_img.erode(torch.as_tensor(m), 3)[:, 0]),
+    )
+
+
 def test_seam_table_conversion_matches_reference():
     """seam_from consumes the reference seam_data schema (dst_ij/src_ij [N,2],
     dense uvs [H,W,2] in [0,1], dense weights [H,W]) and reproduces the

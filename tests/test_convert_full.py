@@ -116,20 +116,20 @@ class TorchWav2VecEncoder(tnn.Module):
 
 
 class TorchPE(tnn.Module):
-    """reference PositionalEncoding WITHOUT batch_first (utils.py:42-65) —
-    the quirk: pe[: x.shape[0]] indexes by BATCH row for batch-first input."""
+    """transformer_modules.py's PositionalEncoding (:281-302) — standard
+    batch-first per-position sin/cos (the one RegressionTransformer uses)."""
 
-    def __init__(self, d, max_len=800):
+    def __init__(self, d, max_len=1024):
         super().__init__()
         pe = torch.zeros(max_len, d)
         position = torch.arange(0, max_len).unsqueeze(1)
         div = torch.exp(torch.arange(0, d, 2) * (-np.log(10000.0) / d))
         pe[:, 0::2] = torch.sin(position * div)
         pe[:, 1::2] = torch.cos(position * div)
-        self.register_buffer("pe", pe.unsqueeze(0).transpose(0, 1))
+        self.register_buffer("pe", pe)
 
     def forward(self, x):
-        return x + self.pe[: x.shape[0]]
+        return x + self.pe[None, : x.shape[1], :]
 
 
 def _ff(d, dff):
@@ -286,14 +286,14 @@ def test_lip_regressor_full_model_matches_torch():
                     return _Agg(name="feature_aggregator")(z)
 
             cond = _Enc(name="audio_encoder")(wav16)
-            pe_rows = absolute_pos_encoding(wav16.shape[0], self.dim)
-            pe = pe_rows[:, None, :]
-            mem = cond + pe
+            mem = cond + absolute_pos_encoding(cond.shape[1], self.dim)[None]
             from audio2photoreal_tpu.models.lip_regressor import _DecLayer, _EncLayer
 
             for i in range(self.enc_layers):
                 mem = _EncLayer(self.dim, self.heads, self.ff_size, name=f"enc_{i}")(mem)
-            x = jnp.broadcast_to(pe, (wav16.shape[0], T, self.dim))
+            x = jnp.broadcast_to(
+                absolute_pos_encoding(T, self.dim)[None], (wav16.shape[0], T, self.dim)
+            )
             for i in range(self.dec_layers):
                 x = _DecLayer(self.dim, self.heads, self.ff_size, name=f"dec_{i}")(x, mem)
             import flax.linen as nn2

@@ -35,15 +35,27 @@ from tests.test_convert_full import TorchW2VExtractor  # noqa: E402
 
 
 class _StubWav2Vec(tnn.Module):
+    """vq-wav2vec stand-in: feature extractor only."""
+
     def __init__(self):
         super().__init__()
         self.feature_extractor = TorchW2VExtractor()
 
-    def parameters(self, recurse=True):  # noqa: D401 — torch API
-        return super().parameters(recurse)
+
+class _StubWav2VecLarge(tnn.Module):
+    """wav2vec_large stand-in: extractor + aggregator (for the lip model)."""
+
+    def __init__(self):
+        super().__init__()
+        from tests.test_convert_full import TorchW2VAggregator
+
+        self.feature_extractor = TorchW2VExtractor()
+        self.feature_aggregator = TorchW2VAggregator()
 
 
 def _stub_load_ensemble(paths):
+    if any("wav2vec_large" in p for p in paths):
+        return [_StubWav2VecLarge()], None, None
     return [_StubWav2Vec()], None, None
 
 
@@ -133,6 +145,63 @@ def test_full_film_transformer_pose_matches_reference(monkeypatch):
         deterministic=True,
     )
     np.testing.assert_allclose(np.asarray(out_j), to_np(out_t), atol=2e-4, rtol=1e-3)
+
+
+class _FaceArgs:
+    add_frame_cond = None
+    data_format = "face"
+    max_seq_length = 600
+
+
+@pytest.mark.slow
+def test_full_film_transformer_face_matches_reference(monkeypatch):
+    """Face denoiser end to end, INCLUDING the frozen lip-regressor branch
+    (random-init — setup_lip_models' checkpoint load is bypassed)."""
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    import model.diffusion as ref_diffusion
+    from model.diffusion import Audio2LipRegressionTransformer, FiLMTransformer as RefFiLM
+
+    def _setup_lip_random(self):
+        self.lip_model = Audio2LipRegressionTransformer()
+        for p in self.lip_model.parameters():
+            p.requires_grad = False
+
+    monkeypatch.setattr(RefFiLM, "setup_lip_models", _setup_lip_random)
+
+    from audio2photoreal_tpu.core.config import DenoiserConfig
+    from audio2photoreal_tpu.models.film_transformer import FiLMDenoiser
+    from audio2photoreal_tpu.train.convert import convert_film_denoiser
+
+    L, H, FF, NL = 64, 4, 96, 1
+    ref = RefFiLM(
+        _FaceArgs(), nfeats=16, latent_dim=L, ff_size=FF, num_layers=NL,
+        num_heads=H, dropout=0.0, split_type="test", device="cpu",
+    ).eval()
+
+    B, T = 1, 12
+    x = torch.randn(B, T, 16)
+    t = torch.tensor([41])
+    audio = torch.randn(B, T * 1600, 2) * 0.1
+    y = {"audio": audio, "mask": torch.ones(B, 1, 1, T, dtype=torch.bool)}
+    with torch.no_grad():
+        out_t = ref(x, t, y, cond_drop_prob=0.0)
+
+    params = convert_film_denoiser(ref.state_dict(), "face", NL, cond_encoder_layers=2)
+    cfg = DenoiserConfig(
+        data_format="face", nfeats=16, latent_dim=L, ff_size=FF,
+        num_layers=NL, num_heads=H, max_seq_length=600, dropout=0.0,
+        cond_encoder_layers=2,
+    )
+    model = FiLMDenoiser(cfg)
+    out_j = model.apply(
+        params,
+        jnp.asarray(to_np(x)),
+        jnp.asarray(to_np(t).astype(np.int32)),
+        jnp.asarray(to_np(audio)),
+        cond_drop_prob=0.0,
+        deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_j), to_np(out_t), atol=5e-4, rtol=1e-3)
 
 
 @pytest.mark.slow
