@@ -51,7 +51,8 @@ class BodyRenderer:
         assets: RendererAssets,
         params,
         cameras: Dict[str, Camera],
-        frame_batch: int = 8,
+        frame_batch: int = 16,  # bigger batches amortize raster/shadow (bench:
+        # 19.4 FPS @B=8 → 22 @B=16 at 1024×704); multicam divides by n_cams
     ):
         self.cfg = cfg
         self.assets = assets

@@ -237,3 +237,54 @@ def project_points(
     xy = cam[..., :2] / jnp.maximum(z[..., None], 1e-8)
     pix = jnp.einsum("bij,bvj->bvi", K[:, :2, :2], xy) + K[:, :2, 2][:, None]
     return pix, z
+
+
+def project_points_multi(
+    p: jnp.ndarray,  # [B, N, 3] world points
+    Rt: jnp.ndarray,  # [B, NC, 3, 4]
+    K: jnp.ndarray,  # [B, NC, 3, 3]
+    normalize: bool = False,
+    size=None,
+):
+    """Pinhole projection into MULTIPLE cameras (ca_body/utils/geom.py:525-557)
+    → (pix [B, NC, N, 2], depth [B, NC, N])."""
+    cam = jnp.einsum("bcij,bnj->bcni", Rt[..., :3], p) + Rt[..., 3][:, :, None]
+    pix3 = jnp.einsum("bcij,bcnj->bcni", K, cam)
+    depth = pix3[..., 2]
+    pix = pix3[..., :2] / jnp.maximum(depth[..., None], 1e-8)
+    if normalize:
+        assert size is not None
+        h, w = size
+        pix = 2.0 * pix / jnp.asarray([w, h], jnp.float32) - 1.0
+    return pix, depth
+
+
+def depth2xyz(depth: jnp.ndarray, focal: jnp.ndarray, princpt: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W] depth + [B, 2, 2] focal + [B, 2] principal point → [B, H, W, 3]
+    camera-space XYZ (geom.py:584-612, NHWC)."""
+    B, H, W = depth.shape
+    ix = (jnp.arange(W, dtype=jnp.float32)[None, None] - princpt[:, None, None, 0]) / focal[
+        :, None, None, 0, 0
+    ]
+    iy = (jnp.arange(H, dtype=jnp.float32)[None, :, None] - princpt[:, None, None, 1]) / focal[
+        :, None, None, 1, 1
+    ]
+    return jnp.stack([depth * ix, depth * iy, depth], axis=-1)
+
+
+def xyz2normals(xyz: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """[B, H, W, 3] XYZ image → unit normals via central differences
+    (geom.py:559-580, NHWC)."""
+    z = jnp.zeros_like(xyz[:, :1])
+    xp = jnp.concatenate([z, xyz, z], axis=1)
+    z2 = jnp.zeros_like(xp[:, :, :1])
+    xp = jnp.concatenate([z2, xp, z2], axis=2)
+    U = (xp[:, 2:, 1:-1] - xp[:, :-2, 1:-1]) / -2
+    V = (xp[:, 1:-1, 2:] - xp[:, 1:-1, :-2]) / -2
+    n = jnp.cross(U, V)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), eps)
+
+
+def depth2normals(depth: jnp.ndarray, focal: jnp.ndarray, princpt: jnp.ndarray) -> jnp.ndarray:
+    """Depth image → normal image (geom.py:616-633)."""
+    return xyz2normals(depth2xyz(depth, focal, princpt))

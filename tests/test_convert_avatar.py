@@ -222,6 +222,53 @@ def test_upscale_net_matches_reference():
     _assert_close(out_j, out_t)
 
 
+def test_geom_diagnostics_match_reference():
+    """project_points_multi / depth2normals vs the real reference geom.py
+    (pytorch3d stubbed — only the UV rasterizer needs it)."""
+    if "pytorch3d" not in sys.modules:
+        p3d = types.ModuleType("pytorch3d")
+        rmm = types.ModuleType("pytorch3d.renderer.mesh.rasterize_meshes")
+        rmm.rasterize_meshes = None
+        struct = types.ModuleType("pytorch3d.structures")
+        struct.Meshes = None
+        sys.modules["pytorch3d"] = p3d
+        sys.modules["pytorch3d.renderer"] = types.ModuleType("pytorch3d.renderer")
+        sys.modules["pytorch3d.renderer.mesh"] = types.ModuleType("pytorch3d.renderer.mesh")
+        sys.modules["pytorch3d.renderer.mesh.rasterize_meshes"] = rmm
+        sys.modules["pytorch3d.structures"] = struct
+    from visualize.ca_body.utils import geom as ref_geom
+
+    from audio2photoreal_tpu.render import geometry as our_geom
+
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    B, NC, N = 2, 3, 11
+    p = rng.randn(B, N, 3).astype(np.float32)
+    Rt = np.tile(np.eye(3, 4, dtype=np.float32), (B, NC, 1, 1))
+    Rt[..., 3] = rng.rand(B, NC, 3) + np.array([0, 0, 4.0], np.float32)
+    K = np.tile(np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], np.float32), (B, NC, 1, 1))
+    pix_t, d_t = ref_geom.project_points_multi(
+        torch.as_tensor(p), torch.as_tensor(Rt), torch.as_tensor(K)
+    )
+    pix_j, d_j = our_geom.project_points_multi(
+        jnp.asarray(p), jnp.asarray(Rt), jnp.asarray(K)
+    )
+    np.testing.assert_allclose(np.asarray(pix_j), to_np(pix_t), atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_j), to_np(d_t), atol=1e-5)
+
+    depth = (rng.rand(B, 12, 16) * 3 + 1).astype(np.float32)
+    focal = np.tile(np.array([[120.0, 0], [0, 130.0]], np.float32), (B, 1, 1))
+    pp = np.tile(np.array([8.0, 6.0], np.float32), (B, 1))
+    n_t = ref_geom.depth2normals(
+        torch.as_tensor(depth)[:, None], torch.as_tensor(focal), torch.as_tensor(pp)
+    )
+    n_j = our_geom.depth2normals(jnp.asarray(depth), jnp.asarray(focal), jnp.asarray(pp))
+    np.testing.assert_allclose(
+        np.asarray(n_j), to_np(n_t).transpose(0, 2, 3, 1), atol=1e-5
+    )
+
+
 def test_color_pipeline_matches_reference_image_py():
     """srgb2linear / linear2color_corr_inv / mapped2linear / dilate / erode
     vs the real reference visualize/ca_body/utils/image.py."""
