@@ -8,7 +8,26 @@ no native grid_sample on TPU.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def take_per_frame(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched row gather ``out[b, p] = table[b, idx[b, p]]`` as a
+    ``lax.scan`` of per-frame ``jnp.take`` calls.
+
+    XLA:TPU lowers a batched ``take_along_axis`` ~5× slower than a plain
+    single-operand row gather (measured 45M vs 213M idx/s at the renderer's
+    operating point, tools/probe_gather3.py) — scanning the batch dimension
+    and gathering each frame's rows from its own [N, C] table keeps every
+    gather on the fast path.  Semantics: indices must already be in-bounds
+    (callers clip)."""
+    def body(_, ti):
+        tab_b, idx_b = ti
+        return 0, jnp.take(tab_b, idx_b, axis=0)
+
+    _, out = jax.lax.scan(body, 0, (table, idx))
+    return out
 
 
 def pack_rgb8(tex: jnp.ndarray) -> jnp.ndarray:
@@ -73,7 +92,7 @@ def grid_sample_bilinear_quad(
     wy = jnp.clip(fy - yi, 0.0, 1.0)[..., None]
     flat = quad.reshape(B, H * W, 4)
     idx = (yi * W + xi).reshape(B, -1)
-    q = jnp.take_along_axis(flat, idx[..., None], axis=1)  # [B, P, 4]
+    q = take_per_frame(flat, idx)  # [B, P, 4]
     q = q.reshape(x.shape + (4,))
     v00 = unpack_rgb8(q[..., 0])
     v01 = unpack_rgb8(q[..., 1])
@@ -113,7 +132,7 @@ def grid_sample_bilinear_packed(
     def gather(xi, yi):
         xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
         yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-        p = jnp.take_along_axis(flat, (yi_c * W + xi_c).reshape(B, -1), axis=1)
+        p = take_per_frame(flat[..., None], (yi_c * W + xi_c).reshape(B, -1))
         return unpack_rgb8(p.reshape(xi.shape))
 
     v00 = gather(x0, y0)
@@ -150,10 +169,8 @@ def grid_sample_bilinear(
     def gather(xi, yi):
         xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
         yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-        out = jnp.take_along_axis(
-            img.reshape(B, H * W, C),
-            (yi_c * W + xi_c).reshape(B, -1, 1),
-            axis=1,
+        out = take_per_frame(
+            img.reshape(B, H * W, C), (yi_c * W + xi_c).reshape(B, -1)
         ).reshape(xi.shape + (C,))
         if padding_zero:
             inside = (
