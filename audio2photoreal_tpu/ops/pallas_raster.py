@@ -86,10 +86,37 @@ def pack_triangles(
     return data
 
 
+def chunk_bboxes(tri: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """[B, F_pad, 16] packed triangles → [B, n_chunks, 4] per-chunk screen
+    bboxes (x_min, x_max, y_min, y_max), invalid faces excluded.  Computed
+    densely OUTSIDE the kernel so the culled-chunk cost inside the kernel is
+    four SMEM scalar reads instead of min/max sweeps over the chunk."""
+    B, F_pad, _ = tri.shape
+    n_chunks = F_pad // chunk
+    xs = tri[..., 0:6:2].reshape(B, n_chunks, chunk * 3)
+    ys = tri[..., 1:6:2].reshape(B, n_chunks, chunk * 3)
+    valid = (tri[..., 9] > 0.5).reshape(B, n_chunks, chunk)
+    v3 = jnp.repeat(valid, 3, axis=-1)
+    x_min = jnp.where(v3, xs, jnp.inf).min(-1)
+    x_max = jnp.where(v3, xs, -jnp.inf).max(-1)
+    y_min = jnp.where(v3, ys, jnp.inf).min(-1)
+    y_max = jnp.where(v3, ys, -jnp.inf).max(-1)
+    return jnp.stack([x_min, x_max, y_min, y_max], axis=-1)
+
+
 def _raster_kernel(
-    tri_ref, face_ref, depth_ref, b0_ref, b1_ref, b2_ref, u_ref, v_ref,
-    *, th, tw, chunk, n_faces_pad
+    tri_ref, bbox_ref, *out_refs, th, tw, chunk, n_faces_pad, emit_barys, emit_uv
 ):
+    # outputs: face, depth, then [b0, b1, b2] if emit_barys, [u, v] if emit_uv
+    # — unconsumed planes are never allocated (XLA cannot DCE custom-call
+    # outputs, and at B=16 each full-frame plane is ~48MB of HBM)
+    face_ref, depth_ref = out_refs[0], out_refs[1]
+    k = 2
+    if emit_barys:
+        b0_ref, b1_ref, b2_ref = out_refs[k : k + 3]
+        k += 3
+    if emit_uv:
+        u_ref, v_ref = out_refs[k : k + 2]
     i = pl.program_id(0)
     j = pl.program_id(1)
     ys = (i * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)).astype(jnp.float32)
@@ -102,25 +129,20 @@ def _raster_kernel(
     tile_y1 = (i * th + th).astype(jnp.float32) + 0.5
 
     def body(c, carry):
-        best_z, best_f, b0, b1, b2, bu, bv = carry
-        tri = tri_ref[pl.ds(c * chunk, chunk), :]  # [CHUNK, 12]
         # chunk-level bbox cull: with Morton-ordered faces (pack_triangles)
         # consecutive faces cluster spatially, so whole chunks usually miss
-        # the tile and the heavy barycentric math is skipped
-        cvalid = tri[:, 9] > 0.5
-        x_min = jnp.minimum(jnp.minimum(tri[:, 0], tri[:, 2]), tri[:, 4])
-        x_max = jnp.maximum(jnp.maximum(tri[:, 0], tri[:, 2]), tri[:, 4])
-        y_min = jnp.minimum(jnp.minimum(tri[:, 1], tri[:, 3]), tri[:, 5])
-        y_max = jnp.maximum(jnp.maximum(tri[:, 1], tri[:, 3]), tri[:, 5])
+        # the tile and the heavy barycentric math is skipped.  Bboxes are
+        # precomputed densely (chunk_bboxes) — the miss path is 4 SMEM reads.
         overlaps = (
-            (jnp.min(jnp.where(cvalid, x_min, jnp.inf)) <= tile_x1)
-            & (jnp.max(jnp.where(cvalid, x_max, -jnp.inf)) >= tile_x0)
-            & (jnp.min(jnp.where(cvalid, y_min, jnp.inf)) <= tile_y1)
-            & (jnp.max(jnp.where(cvalid, y_max, -jnp.inf)) >= tile_y0)
+            (bbox_ref[c, 0] <= tile_x1)
+            & (bbox_ref[c, 1] >= tile_x0)
+            & (bbox_ref[c, 2] <= tile_y1)
+            & (bbox_ref[c, 3] >= tile_y0)
         )
 
         def compute(carry):
-            best_z, best_f, b0, b1, b2, bu, bv = carry
+            best_z, best_f = carry[0], carry[1]
+            tri = tri_ref[pl.ds(c * chunk, chunk), :]  # [CHUNK, 16]
             xa = tri[:, 0][:, None, None]
             ya = tri[:, 1][:, None, None]
             xb = tri[:, 2][:, None, None]
@@ -156,42 +178,49 @@ def _raster_kernel(
             ).astype(jnp.float32)
             sel = lambda w: jnp.sum(jnp.where(jnp.isfinite(z), w, 0.0) * onehot, axis=0)
             best_f = jnp.where(take, c * chunk + amin, best_f)
-            b0 = jnp.where(take, sel(w0), b0)
-            b1 = jnp.where(take, sel(w1), b1)
-            b2 = jnp.where(take, sel(w2), b2)
-            # interpolated UV of the winning face (corner UVs ride in VMEM)
-            ua = tri[:, 10][:, None, None]
-            va = tri[:, 11][:, None, None]
-            ub = tri[:, 12][:, None, None]
-            vb = tri[:, 13][:, None, None]
-            uc = tri[:, 14][:, None, None]
-            vc = tri[:, 15][:, None, None]
-            bu = jnp.where(take, sel(w0 * ua + w1 * ub + w2 * uc), bu)
-            bv = jnp.where(take, sel(w0 * va + w1 * vb + w2 * vc), bv)
-            best_z = jnp.minimum(best_z, zmin)
-            return best_z, best_f, b0, b1, b2, bu, bv
+            out = [jnp.minimum(best_z, zmin), best_f]
+            kk = 2
+            if emit_barys:
+                b0, b1, b2 = carry[kk : kk + 3]
+                out += [
+                    jnp.where(take, sel(w0), b0),
+                    jnp.where(take, sel(w1), b1),
+                    jnp.where(take, sel(w2), b2),
+                ]
+                kk += 3
+            if emit_uv:
+                # interpolated UV of the winning face (corner UVs ride in VMEM)
+                bu, bv = carry[kk : kk + 2]
+                ua = tri[:, 10][:, None, None]
+                va = tri[:, 11][:, None, None]
+                ub = tri[:, 12][:, None, None]
+                vb = tri[:, 13][:, None, None]
+                uc = tri[:, 14][:, None, None]
+                vc = tri[:, 15][:, None, None]
+                out += [
+                    jnp.where(take, sel(w0 * ua + w1 * ub + w2 * uc), bu),
+                    jnp.where(take, sel(w0 * va + w1 * vb + w2 * vc), bv),
+                ]
+            return tuple(out)
 
         return jax.lax.cond(overlaps, compute, lambda cr: cr, carry)
 
+    n_extra = (3 if emit_barys else 0) + (2 if emit_uv else 0)
     init = (
         jnp.full((th, tw), jnp.inf, jnp.float32),
         jnp.full((th, tw), -1, jnp.int32),
-        jnp.zeros((th, tw), jnp.float32),
-        jnp.zeros((th, tw), jnp.float32),
-        jnp.zeros((th, tw), jnp.float32),
-        jnp.zeros((th, tw), jnp.float32),
-        jnp.zeros((th, tw), jnp.float32),
-    )
-    best_z, best_f, b0, b1, b2, bu, bv = jax.lax.fori_loop(0, n_chunks, body, init)
-    face_ref[:, :] = best_f
-    depth_ref[:, :] = best_z
+    ) + tuple(jnp.zeros((th, tw), jnp.float32) for _ in range(n_extra))
+    final = jax.lax.fori_loop(0, n_chunks, body, init)
+    face_ref[:, :] = final[1]
+    depth_ref[:, :] = final[0]
     # barycentrics/UVs as planar outputs: a trailing dim of 3 would pad to
     # 128 lanes under TPU (8, 128) tiling and blow the VMEM budget
-    b0_ref[:, :] = b0
-    b1_ref[:, :] = b1
-    b2_ref[:, :] = b2
-    u_ref[:, :] = bu
-    v_ref[:, :] = bv
+    kk = 2
+    if emit_barys:
+        b0_ref[:, :], b1_ref[:, :], b2_ref[:, :] = final[2], final[3], final[4]
+        kk += 3
+    if emit_uv:
+        u_ref[:, :], v_ref[:, :] = final[kk], final[kk + 1]
 
 
 def rasterize_pallas(
@@ -201,59 +230,79 @@ def rasterize_pallas(
     height: int,
     width: int,
     *,
-    tile: Tuple[int, int] = (128, 128),
-    chunk: int = 16,  # [chunk, th, tw] f32 temporaries must stay under ~16MB VMEM
+    tile: Tuple[int, int] = (32, 128),
+    chunk: int = 64,  # [chunk, th, tw] f32 temporaries must stay under ~16MB VMEM
     interpret: bool = False,
     spatial_sort: bool = True,
     face_uv: jnp.ndarray = None,  # [F, 3, 2] → also emit per-pixel UV
+    emit_barys: bool = None,  # default: only when face_uv is absent
 ):
     """→ (face_index [B, H, W], barys [B, H, W, 3], depth [B, H, W],
     uv [B, H, W, 2] or None)."""
     th, tw = tile
+    # clamp chunk so the ~10 [chunk, th, tw] f32 temporaries + the (double-
+    # buffered) triangle block stay inside the 16MB scoped-VMEM limit
+    tri_bytes = 2 * faces.shape[0] * 16 * 4
+    budget = 14 * 2**20 - tri_bytes
+    while chunk > 8 and chunk * th * tw * 4 * 17 > budget:
+        chunk //= 2
     Hp = -(-height // th) * th
     Wp = -(-width // tw) * tw
     perm = morton_order(pix_verts, faces, height, width) if spatial_sort else None
     tri = pack_triangles(pix_verts, depth, faces, chunk, perm, face_uv=face_uv)
     B, F_pad, _ = tri.shape
 
+    # when the kernel interpolates UV in-VMEM the barycentric planes have no
+    # consumer — emit only what the caller uses (custom-call outputs cannot
+    # be DCE'd by XLA and cost ~48MB of HBM each at production batch)
+    emit_uv = face_uv is not None
+    if emit_barys is None:
+        emit_barys = not emit_uv
+    n_extra = (3 if emit_barys else 0) + (2 if emit_uv else 0)
+
     kernel = functools.partial(
-        _raster_kernel, th=th, tw=tw, chunk=chunk, n_faces_pad=F_pad
+        _raster_kernel, th=th, tw=tw, chunk=chunk, n_faces_pad=F_pad,
+        emit_barys=emit_barys, emit_uv=emit_uv,
     )
 
-    def single(tri_b):
+    bbox = chunk_bboxes(tri, chunk)  # [B, n_chunks, 4]
+
+    def single(tri_b, bbox_b):
         tile_spec = lambda: pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             grid=(Hp // th, Wp // tw),
             in_specs=[
-                pl.BlockSpec((F_pad, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((F_pad, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (F_pad // chunk, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+                ),
             ],
-            out_specs=tuple(tile_spec() for _ in range(7)),
-            out_shape=(
-                jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
-                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+            out_specs=tuple(tile_spec() for _ in range(2 + n_extra)),
+            out_shape=(jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),)
+            + tuple(
+                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32) for _ in range(1 + n_extra)
             ),
             interpret=interpret,
-        )(tri_b)
+        )(tri_b, bbox_b)
 
-    face, dep, b0, b1, b2, bu, bv = jax.vmap(single)(tri)
-    bary = jnp.stack([b0, b1, b2], axis=-1)
+    outs = jax.vmap(single)(tri, bbox)
+    face, dep = outs[0], outs[1]
     if perm is not None:
         # kernel face ids index the sorted order — map back to caller ids
         flat = jnp.maximum(face, 0).reshape(B, -1)
         remapped = perm[jnp.arange(B)[:, None], flat].reshape(face.shape)
         face = jnp.where(face >= 0, remapped.astype(jnp.int32), -1)
-    uv = None
-    if face_uv is not None:
-        uv = jnp.stack([bu, bv], axis=-1)[:, :height, :width]
+    bary = uv = None
+    kk = 2
+    if emit_barys:
+        bary = jnp.stack(outs[kk : kk + 3], axis=-1)[:, :height, :width]
+        kk += 3
+    if emit_uv:
+        uv = jnp.stack(outs[kk : kk + 2], axis=-1)[:, :height, :width]
     return (
         face[:, :height, :width],
-        bary[:, :height, :width],
+        bary,
         dep[:, :height, :width],
         uv,
     )

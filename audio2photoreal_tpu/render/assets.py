@@ -88,9 +88,16 @@ def _cylinder_mesh(n_around: int = 8, n_height: int = 6, radius: float = 0.3, he
     )
 
 
-def make_synthetic_assets(cfg: RendererConfig, seed: int = 0) -> RendererAssets:
+def make_synthetic_assets(
+    cfg: RendererConfig, seed: int = 0, mesh_density: int = 1
+) -> RendererAssets:
+    """``mesh_density=1`` builds a coarse ~70-face cylinder (fast for tests);
+    ``mesh_density=10`` a production-scale ~12k-small-triangle mesh matching
+    the reference body topology's face count (benchmarks)."""
     rng = np.random.RandomState(seed)
-    verts, faces, uvs, uv_faces = _cylinder_mesh()
+    verts, faces, uvs, uv_faces = _cylinder_mesh(
+        n_around=8 * mesh_density, n_height=6 * mesh_density
+    )
     V = len(verts)
     geo = GeometryModule.create(faces, uvs, uv_faces, cfg.uv_size, impaint=True)
 

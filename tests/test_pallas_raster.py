@@ -26,7 +26,7 @@ def test_pallas_matches_xla_rasterizer(seed):
     face_uv = jnp.asarray(rng.rand(faces.shape[0], 3, 2).astype(np.float32))
     face, bary, dep, uv = rasterize_pallas(
         pix, depth, faces, H, W, tile=(32, 32), chunk=8, interpret=True,
-        face_uv=face_uv,
+        face_uv=face_uv, emit_barys=True,
     )
     ref_cov = np.asarray(ref.face_index[0] >= 0)
     pal_cov = np.asarray(face[0] >= 0)

@@ -35,7 +35,8 @@ def main(frame_batch: int = 4, n_runs: int = 5, image=(1024, 704)):
         image_height=image[0],
         image_width=image[1],
     )
-    assets = make_synthetic_assets(cfg)
+    # production-scale mesh: ~12k small triangles like the real body topology
+    assets = make_synthetic_assets(cfg, mesh_density=10)
     model = BodyAvatar(cfg, assets)
     B = frame_batch
     motion = jnp.asarray(np.random.RandomState(0).randn(B, 104).astype(np.float32) * 0.1)
@@ -52,6 +53,14 @@ def main(frame_batch: int = 4, n_runs: int = 5, image=(1024, 704)):
             encode=False, render=True, K=K, Rt=Rt,
         )
     )(jax.random.PRNGKey(0))
+    # a RANDOM-init decoder emits O(0.5m) vertex deltas that scatter the mesh
+    # across the whole frame — unrepresentative of a trained model (deltas are
+    # centimeters) and pathological for any tiled rasterizer.  Scale the verts
+    # head down so the benchmark rasterizes a coherent body-like mesh.
+    params = jax.tree_util.tree_map(lambda x: x, params)  # unfreeze-safe copy
+    params["params"]["decoder"]["verts_conv"]["g"] = (
+        params["params"]["decoder"]["verts_conv"]["g"] * 0.02
+    )
 
     from audio2photoreal_tpu.render.layers import render_compute_dtype
 
