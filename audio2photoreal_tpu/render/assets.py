@@ -88,12 +88,30 @@ def _cylinder_mesh(n_around: int = 8, n_height: int = 6, radius: float = 0.3, he
     )
 
 
+def synthetic_seam_sampler(uv_size: int, n: int, rng) -> SeamSampler:
+    """Random but structurally-valid seam tables at production scale (real
+    bodies carry tens of thousands of seam texels per resolution) so
+    benchmarks exercise the seam gather/scatter path."""
+    HW = uv_size * uv_size
+    imp = rng.choice(HW, size=2 * n, replace=False)
+    dst_r = rng.choice(HW, size=n, replace=False)
+    return SeamSampler(
+        impaint_dst=jnp.asarray(imp[:n], jnp.int32),
+        impaint_src=jnp.asarray(imp[n:], jnp.int32),
+        resample_uvs=jnp.asarray(rng.rand(n, 2) * 2.0 - 1.0, jnp.float32),
+        resample_dst=jnp.asarray(dst_r, jnp.int32),
+        resample_weights=jnp.asarray(rng.rand(n).astype(np.float32)),
+        uv_size=uv_size,
+    )
+
+
 def make_synthetic_assets(
     cfg: RendererConfig, seed: int = 0, mesh_density: int = 1
 ) -> RendererAssets:
     """``mesh_density=1`` builds a coarse ~70-face cylinder (fast for tests);
     ``mesh_density=10`` a production-scale ~12k-small-triangle mesh matching
-    the reference body topology's face count (benchmarks)."""
+    the reference body topology's face count (benchmarks), with
+    production-scale synthetic seam tables."""
     rng = np.random.RandomState(seed)
     verts, faces, uvs, uv_faces = _cylinder_mesh(
         n_around=8 * mesh_density, n_height=6 * mesh_density
@@ -125,8 +143,16 @@ def make_synthetic_assets(
     return RendererAssets(
         geo=geo,
         lbs=lbs,
-        seam=empty_seam_sampler(cfg.uv_size),
-        seam_2k=empty_seam_sampler(cfg.upscale_size),
+        seam=(
+            synthetic_seam_sampler(cfg.uv_size, 24_000, rng)
+            if mesh_density > 1
+            else empty_seam_sampler(cfg.uv_size)
+        ),
+        seam_2k=(
+            synthetic_seam_sampler(cfg.upscale_size, 48_000, rng)
+            if mesh_density > 1
+            else empty_seam_sampler(cfg.upscale_size)
+        ),
         tex_mean=jnp.asarray(rng.rand(cfg.upscale_size, cfg.upscale_size, 3) * 100, jnp.float32),
         tex_std=64.0,
         ao_mean=jnp.asarray(rng.rand(cfg.shadow_size, cfg.shadow_size, 1), jnp.float32),

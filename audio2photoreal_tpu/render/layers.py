@@ -296,7 +296,11 @@ class Conv2dWNUB(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, s2d: bool = False, s2d_down: bool = False
+        self,
+        x: jnp.ndarray,
+        s2d: bool = False,
+        s2d_down: bool = False,
+        weights_only: bool = False,
     ) -> jnp.ndarray:
         cin = (x.shape[-1] // 4) if (s2d or s2d_down) else x.shape[-1]
         k = self.kernel_size
@@ -308,6 +312,11 @@ class Conv2dWNUB(nn.Module):
             "bias", nn.initializers.zeros, (self.height, self.width, self.features)
         )
         w = _wn_kernel(v, g)
+        if weights_only:
+            # callers fusing several WN convs into one (e.g. the decoder's
+            # final verts/tex pair) take the normalized kernel + bias; x is
+            # used only for shape inference and stays dead in the graph
+            return w, bias
         if s2d_down:
             # 4×4 stride-2 conv consuming s2d input → normal half-res output
             assert self.stride == 2 and k == 4 and self.padding == 1 and self.groups == 1
@@ -429,6 +438,12 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int], align_corners: bool =
         return _upsample2x_half_pixel(x)
     Ry = jnp.asarray(_interp_matrix(H, Ho, align_corners), x.dtype)
     Rx = jnp.asarray(_interp_matrix(W, Wo, align_corners), x.dtype)
+    if H >= 256:
+        # direct contractions with C riding as the minor dim — XLA folds the
+        # layout shuffle into the matmuls instead of materialising the two
+        # full-size transposes (measured ~20% faster at 512²/32ch+, B=16)
+        y = jnp.einsum("oh,bhwc->bowc", Ry, x)
+        return jnp.einsum("ow,bhwc->bhoc", Rx, y)
     # rows: [Ho,H] × [B,H,(W·C)]
     y = jnp.einsum("oh,bhx->box", Ry, x.reshape(B, H, W * C)).reshape(B, Ho, W, C)
     # cols in W-minor layout: [Wo,W] × [B,Ho,C,W]

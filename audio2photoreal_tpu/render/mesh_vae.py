@@ -195,31 +195,45 @@ class ConvDecoder(nn.Module):
         for b in range(n_blocks):
             x = UpConvBlockDeep(n_channels[b + 1] * 2, sizes[b + 1], groups=2, name=f"up{b}")(x)
 
-        x = self.seam.impaint(x)
-        x = self.seam.resample(x)
-        x = self.seam.resample(x)
+        x = self.seam.fused_apply(x, n_resample=2)
 
-        verts_features, tex_features = jnp.split(x, 2, axis=-1)
         from audio2photoreal_tpu.render.layers import (
             Conv2dWNUB,
+            conv3x3_s2d,
             depth_to_space,
             space_to_depth,
         )
 
-        # final 3×3 convs (≤16 ch at uv_size²) are lane-bound — s2d coords
-        s2d = c.uv_size >= 256 and verts_features.shape[-1] <= 32
-        if s2d:
-            verts_features = space_to_depth(verts_features)
-            tex_features = space_to_depth(tex_features)
-        verts_uv_delta = Conv2dWNUB(3, c.uv_size, c.uv_size, 3, 1, 1, name="verts_conv")(
-            verts_features, s2d=s2d
+        half = x.shape[-1] // 2
+        s2d = c.uv_size >= 256 and half <= 32
+        # the two final 3×3 convs run FUSED as one block-diagonal conv on the
+        # un-split tensor: splitting [B, S, S, 32] materialises two 512MB
+        # halves (plus two s2d copies) — the weights_only path yields each
+        # module's normalized kernel while keeping the param tree identical
+        # for the torch converters
+        vw, vb = Conv2dWNUB(3, c.uv_size, c.uv_size, 3, 1, 1, name="verts_conv")(
+            x[..., :half], weights_only=True
         )
-        tex_mean_rec = Conv2dWNUB(3, c.uv_size, c.uv_size, 3, 1, 1, name="tex_conv")(
-            tex_features, s2d=s2d
+        tw, tb = Conv2dWNUB(3, c.uv_size, c.uv_size, 3, 1, 1, name="tex_conv")(
+            x[..., half:], weights_only=True
         )
+        wj = jnp.concatenate(
+            [
+                jnp.concatenate([vw, jnp.zeros_like(vw)], axis=2),
+                jnp.concatenate([jnp.zeros_like(tw), tw], axis=2),
+            ],
+            axis=-1,
+        )  # [3, 3, 2·half, 6] block-diagonal
+        bj = jnp.concatenate([vb, tb], axis=-1)[None].astype(wj.dtype)
         if s2d:
-            verts_uv_delta = depth_to_space(verts_uv_delta)
-            tex_mean_rec = depth_to_space(tex_mean_rec)
+            out = conv3x3_s2d(space_to_depth(x.astype(wj.dtype)), wj)
+            out = depth_to_space(out + space_to_depth(bj))
+        else:
+            out = jax.lax.conv_general_dilated(
+                x.astype(wj.dtype), wj, (1, 1), [(1, 1)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bj
+        verts_uv_delta, tex_mean_rec = out[..., :3], out[..., 3:]
         verts_delta = self.geo.from_uv(verts_uv_delta)
         return {
             "geom_delta_rec": verts_delta,
@@ -327,18 +341,15 @@ class BodyAvatar(nn.Module):
         a = self.assets
         x = jnp.concatenate([tex_mean_rec, tex_view_rec], axis=-1)
         tex = tex_mean_rec + tex_view_rec
-        tex = a.seam.impaint(tex)
-        tex = a.seam.resample(tex)
+        tex = a.seam.fused_apply(tex, n_resample=1)
         tex = resize_bilinear(tex, (c.upscale_size, c.upscale_size))
         tex = tex + self.upscale_net(x)
-        tex = tex * a.tex_std + a.tex_mean[None]
-        sh = a.seam_2k.impaint(shadow_map)
-        sh = a.seam_2k.resample(sh)
-        sh = a.seam_2k.resample(sh)
+        # ×std+mean in the carrier dtype: f32 constants would upcast the
+        # whole 2048² tail (float promotion), tripling its HBM footprint
+        tex = tex * jnp.asarray(a.tex_std, tex.dtype) + a.tex_mean[None].astype(tex.dtype)
+        sh = a.seam_2k.fused_apply(shadow_map, n_resample=2)
         tex = tex * sh
-        tex = a.seam_2k.impaint(tex)
-        tex = a.seam_2k.resample(tex)
-        tex = a.seam_2k.resample(tex)
+        tex = a.seam_2k.fused_apply(tex, n_resample=2)
         return tex
 
     def __call__(

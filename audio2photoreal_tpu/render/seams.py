@@ -4,15 +4,26 @@ Port of visualize/ca_body/utils/seams.py: ``impaint_batch`` (:16-21) copies
 precomputed source texels over destination texels; ``resample_tex`` (:23-52)
 blends grid-sampled values across the seam by precomputed weights.  The
 index/weight tables ship in the static assets.
+
+TPU-native twist: the renderer applies impaint + N resample passes back to
+back (mesh_vae_drivable.py:230-252 runs impaint, resample, resample).  Run
+sequentially each pass is a full-texture scatter — XLA materialises a copy of
+the whole [B, H, W, C] buffer per ``.at[].set`` even when the tables are
+EMPTY, which at 1024²·32ch·batch-16 is ~1 GB of HBM traffic per pass.  Since
+every index and weight is static, the whole pipeline is a constant sparse
+matrix: ``fused_apply`` composes it host-side once (scipy.sparse) into a
+per-destination tap table and applies it as ONE gather + ONE scatter.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
-from audio2photoreal_tpu.ops.gridsample import grid_sample_bilinear
+from audio2photoreal_tpu.ops.gridsample import grid_sample_bilinear, take_per_frame
 
 
 @dataclass
@@ -25,9 +36,17 @@ class SeamSampler:
     resample_dst: jnp.ndarray  # [M] int32 flat texel index
     resample_weights: jnp.ndarray  # [M] blend weight
     uv_size: int
+    # composed tap tables per n_resample (host-side, built lazily)
+    _fused: Dict[int, Tuple] = field(default_factory=dict, repr=False, compare=False)
+
+    @property
+    def is_empty(self) -> bool:
+        return self.impaint_dst.shape[0] == 0 and self.resample_dst.shape[0] == 0
 
     def impaint(self, tex: jnp.ndarray) -> jnp.ndarray:
         """[B, H, W, C]: copy src → dst texels (seams.py:16-21)."""
+        if self.impaint_dst.shape[0] == 0:
+            return tex
         B, H, W, C = tex.shape
         flat = tex.reshape(B, H * W, C)
         src_vals = flat[:, self.impaint_src]
@@ -36,6 +55,8 @@ class SeamSampler:
 
     def resample(self, tex: jnp.ndarray) -> jnp.ndarray:
         """Blend re-sampled seam texels into the texture (seams.py:23-52)."""
+        if self.resample_dst.shape[0] == 0:
+            return tex
         B, H, W, C = tex.shape
         grid = jnp.broadcast_to(
             self.resample_uvs[None, :, None, :], (B, self.resample_uvs.shape[0], 1, 2)
@@ -56,3 +77,189 @@ class SeamSampler:
 
     def __call__(self, tex: jnp.ndarray) -> jnp.ndarray:
         return self.resample(self.impaint(tex))
+
+    # ---- fused path ------------------------------------------------------
+
+    def _compose(self, n_resample: int):
+        """Compose impaint + n_resample resamples into (dst, taps, weights):
+        out[dst[i]] = Σ_k weights[i, k] · x[taps[i, k]], identity elsewhere.
+
+        All tables are static, so the three passes form one constant sparse
+        matrix S = R^n · I_imp; rows that differ from identity become the tap
+        table.  Mirrors grid_sample_bilinear's align_corners=False +
+        border-clamp index math exactly."""
+        import scipy.sparse as sp
+
+        W = self.uv_size
+        HW = W * W
+        imp_dst = np.asarray(self.impaint_dst, np.int64)
+        imp_src = np.asarray(self.impaint_src, np.int64)
+        r_dst = np.asarray(self.resample_dst, np.int64)
+        r_w = np.asarray(self.resample_weights, np.float64)
+        uvs = np.asarray(self.resample_uvs, np.float64)  # [-1, 1], (x, y)
+
+        dst = (
+            np.unique(np.concatenate([imp_dst, r_dst]))
+            if (imp_dst.size or r_dst.size)
+            else np.zeros(0, np.int64)
+        )
+        if dst.size == 0:
+            return None
+
+        # Full-HW operators are cheap to BUILD (≤ ~5 nnz/row) but HW×HW
+        # products are not — so propagate only the |dst| affected rows:
+        # P = I_dst · R^n · A, computed left-to-right (row-restricted).
+
+        # impaint A: modified identity, row d reads e_{src}
+        cols = np.arange(HW, dtype=np.int64)
+        if imp_dst.size:
+            cols[imp_dst] = imp_src
+        A = sp.csr_matrix(
+            (np.ones(HW), (np.arange(HW, dtype=np.int64), cols)), shape=(HW, HW)
+        )
+
+        R = None
+        if r_dst.size and n_resample > 0:
+            # bilinear taps of one resample pass (border-clamped, matching
+            # grid_sample_bilinear align_corners=False, padding_zero=False)
+            fx = ((uvs[:, 0] + 1.0) * W - 1.0) * 0.5
+            fy = ((uvs[:, 1] + 1.0) * W - 1.0) * 0.5
+            x0 = np.floor(fx)
+            y0 = np.floor(fy)
+            wx = fx - x0
+            wy = fy - y0
+            cc, vv = [], []
+            for dx, dy, w4 in (
+                (0, 0, (1 - wx) * (1 - wy)),
+                (1, 0, wx * (1 - wy)),
+                (0, 1, (1 - wx) * wy),
+                (1, 1, wx * wy),
+            ):
+                xi = np.clip(x0 + dx, 0, W - 1).astype(np.int64)
+                yi = np.clip(y0 + dy, 0, W - 1).astype(np.int64)
+                cc.append(yi * W + xi)
+                vv.append(r_w * w4)
+            bil = sp.csr_matrix(
+                (np.concatenate(vv), (np.tile(r_dst, 4), np.concatenate(cc))),
+                shape=(HW, HW),
+            )
+            diag = np.ones(HW)
+            diag[r_dst] = 1.0 - r_w
+            R = sp.diags(diag).tocsr() + bil
+
+        stages = ([R] * n_resample if R is not None else []) + [A]
+        P = stages[0][dst]  # [|dst|, HW] — a row slice, not a product
+        for M in stages[1:]:
+            P = P @ M
+
+        sub = P.tocoo()
+        K = max(int(np.bincount(sub.row, minlength=dst.size).max()), 1)
+        order = np.argsort(sub.row, kind="stable")
+        rows_s, cols_s, data_s = sub.row[order], sub.col[order], sub.data[order]
+        counts = np.bincount(rows_s, minlength=dst.size)
+        slot = np.arange(rows_s.size) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        taps = np.zeros((dst.size, K), np.int64)
+        ws = np.zeros((dst.size, K), np.float64)
+        taps[rows_s, slot] = cols_s
+        ws[rows_s, slot] = data_s
+        # cache as NUMPY — jnp constants minted during a jit trace are
+        # tracers and must not outlive it
+        return (
+            dst.astype(np.int32),
+            taps.astype(np.int32),
+            ws.astype(np.float32),
+        )
+
+    def _buckets(self, n_resample: int):
+        """Composed tables bucketed by tap count (host-side, cached):
+        [(dst_b, taps_b [Mb, Kb], ws_b [Mb, Kb]), ...] — rows padded to the
+        max K waste gather slots; pow2 buckets keep work ∝ actual taps."""
+        key = ("buckets", n_resample)
+        if key in self._fused:
+            return self._fused[key]
+        if n_resample not in self._fused:
+            self._fused[n_resample] = self._compose(n_resample)
+        packed = self._fused[n_resample]
+        if packed is None:
+            self._fused[key] = None
+            return None
+        dst, taps, ws = packed
+        counts = (ws != 0).sum(1)
+        order = np.argsort(counts, kind="stable")
+        dst_s, taps_s, ws_s, counts_s = dst[order], taps[order], ws[order], counts[order]
+        buckets = []
+        start = 0
+        kb = 1
+        while start < len(dst_s):
+            end = int(np.searchsorted(counts_s, kb, side="right"))
+            if end > start:
+                buckets.append((dst_s[start:end], taps_s[start:end, :kb], ws_s[start:end, :kb]))
+                start = end
+            kb *= 2
+        self._fused[key] = buckets
+        return buckets
+
+    def fused_apply(self, tex: jnp.ndarray, n_resample: int = 2) -> jnp.ndarray:
+        """impaint → resample×n as one fused gather/scatter pipeline (same
+        values as the sequential passes, composed in f32).
+
+        TPU-native layout: the tap pattern is identical for every frame (and
+        channel), so the texture is viewed TEXEL-MAJOR as [H·W/g, g·B·C] —
+        each tap is ONE row-gather serving the whole batch (B× fewer index
+        ops, the TPU gather bottleneck), rows are ≥128 lanes so neither the
+        gather nor the final row-scatter lane-pads, and g groups texels when
+        B·C alone is lane-narrow."""
+        if self.is_empty:
+            return tex
+        buckets = self._buckets(n_resample)
+        if not buckets:
+            return tex
+        B, H, W, C = tex.shape
+        HW = H * W
+        BC = B * C
+        # texel-group so rows reach ≥128 lanes (prefer exact tile multiples)
+        g = 1
+        while g * BC < 128:
+            g *= 2
+        t = tex.transpose(1, 2, 0, 3).reshape(HW // g, g * BC)
+
+        outs, dsts = [], []
+        for dst_b, taps_b, ws_b in buckets:
+            Mb, Kb = taps_b.shape
+            acc = jnp.zeros((Mb, BC), jnp.float32)
+            for k in range(Kb):
+                rows = jnp.take(t, jnp.asarray(taps_b[:, k] // g), axis=0)
+                if g > 1:
+                    rows = rows.reshape(Mb, g, BC)
+                    onehot = jnp.asarray(
+                        (taps_b[:, k] % g)[:, None] == np.arange(g)[None], np.float32
+                    )
+                    rows = (rows.astype(jnp.float32) * onehot[:, :, None]).sum(1)
+                acc = acc + rows.astype(jnp.float32) * jnp.asarray(ws_b[:, k])[:, None]
+            outs.append(acc)
+            dsts.append(dst_b)
+        vals = jnp.concatenate(outs, 0).astype(tex.dtype)  # [M, BC]
+        dst_all = np.concatenate(dsts)
+
+        if g == 1:
+            t = t.at[jnp.asarray(dst_all)].set(vals)
+        else:
+            # scatter whole texel-group rows: gather old rows, place updates
+            # at their static slots, write rows back
+            grp = np.unique(dst_all // g)
+            # slot_of[j, s] = index into vals for texel grp[j]·g+s (or M)
+            slot_of = np.full((len(grp), g), len(dst_all), np.int64)
+            pos = {int(d): i for i, d in enumerate(grp)}
+            for i, d in enumerate(dst_all):
+                slot_of[pos[int(d // g)], int(d % g)] = i
+            vals_pad = jnp.concatenate([vals, jnp.zeros((1, BC), vals.dtype)], 0)
+            placed = jnp.take(vals_pad, jnp.asarray(slot_of.reshape(-1)), axis=0)
+            placed = placed.reshape(len(grp), g, BC)
+            old = jnp.take(t, jnp.asarray(grp), axis=0).reshape(len(grp), g, BC)
+            mask = jnp.asarray((slot_of < len(dst_all))[..., None])
+            t = t.at[jnp.asarray(grp)].set(
+                jnp.where(mask, placed, old).reshape(len(grp), g * BC)
+            )
+        return t.reshape(H, W, B, C).transpose(2, 0, 1, 3)

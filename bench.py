@@ -175,7 +175,82 @@ def main():
     }
     if mfu is not None:
         result["mfu_vs_v5e_bf16_peak"] = round(mfu, 4)
+
+    # stage 4 (optional, BENCH_SKIP_RENDER=1 to skip): steady-state photoreal
+    # render FPS on the production display-packed path, and the COMBINED
+    # audio→motion→frames ×realtime (BASELINE.md north star: full product
+    # faster than realtime on one chip).  30 fps of frames per audio second.
+    import os
+
+    if not os.environ.get("BENCH_SKIP_RENDER"):
+        try:
+            render_fps = _render_fps()
+            result["render_fps_1024x704"] = round(render_fps, 2)
+            combined_wall = wall + AUDIO_SECS * 30.0 / render_fps
+            result["combined_motion_plus_render_x_realtime"] = round(
+                AUDIO_SECS / combined_wall, 3
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"bench: render stage unavailable ({type(e).__name__}: {e})")
     print(json.dumps(result))
+
+
+def _render_fps(B: int = 16, n_runs: int = 3) -> float:
+    """Steady-state FPS of the full BodyAvatar display-packed render at the
+    production operating point (1024×704, 1024² UV, 2048² texture, ~12k-face
+    mesh, production-scale seam tables).  Every timed call sees unique
+    inputs — the device tunnel can coalesce identical dispatches."""
+    import numpy as np
+
+    from audio2photoreal_tpu.render.assets import make_synthetic_assets
+    from audio2photoreal_tpu.render.layers import render_compute_dtype
+    from audio2photoreal_tpu.render.mesh_vae import BodyAvatar, RendererConfig
+
+    cfg = RendererConfig(
+        uv_size=1024, init_uv_size=64, upscale_size=2048, n_embs=256,
+        n_face_embs=256, shadow_size=256, encoder_in_size=512,
+        face_tex_size=1024, n_face_verts=512, image_height=1024, image_width=704,
+    )
+    assets = make_synthetic_assets(cfg, mesh_density=10)
+    model = BodyAvatar(cfg, assets)
+    motion = jnp.asarray(np.random.RandomState(0).randn(B, 104).astype(np.float32) * 0.1)
+    campos = jnp.asarray(np.tile([0.0, -3.0, 1.0], (B, 1)).astype(np.float32))
+    Kc = jnp.asarray(np.tile([[500.0, 0, 352], [0, 500.0, 512], [0, 0, 1]], (B, 1, 1)).astype(np.float32))
+    Rt = jnp.asarray(np.tile([[1, 0, 0, 0], [0, 0, -1, 1], [0, 1, 0, 3]], (B, 1, 1)).astype(np.float32))
+    embs = jnp.zeros((B, cfg.n_embs))
+    face_embs = jnp.zeros((B, cfg.n_face_embs))
+
+    log("bench: init renderer params (jitted)")
+    params = jax.jit(
+        lambda r: model.init(
+            {"params": r}, motion, campos, embs=embs, face_embs_body=face_embs,
+            encode=False, render=True, K=Kc, Rt=Rt,
+        )
+    )(jax.random.PRNGKey(0))
+    # scale the verts head to trained-model delta magnitudes (random init
+    # scatters the mesh over the full frame — unrepresentative geometry)
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    params["params"]["decoder"]["verts_conv"]["g"] = (
+        params["params"]["decoder"]["verts_conv"]["g"] * 0.02
+    )
+
+    def render(p, m):
+        with render_compute_dtype(jnp.bfloat16):
+            return model.apply(
+                p, m, campos, embs=embs, face_embs_body=face_embs,
+                encode=False, render=True, K=Kc, Rt=Rt, render_display=True,
+            )["rgb"]
+
+    log("bench: compile render")
+    rc = jax.jit(render)
+    out = rc(params, motion)
+    jax.block_until_ready(out)
+    motions = [motion + jnp.float32(1e-3 * (i + 1)) for i in range(n_runs)]
+    jax.block_until_ready(motions)
+    t0 = time.perf_counter()
+    outs = [rc(params, m) for m in motions]
+    jax.block_until_ready(outs)
+    return B * n_runs / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":

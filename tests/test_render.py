@@ -341,6 +341,46 @@ def test_seam_sampler_impaint_copies():
     assert float(out[0, 0, 0, 0]) == 5.0
 
 
+def test_seam_fused_matches_sequential():
+    """fused_apply (one composed gather/scatter) must equal the reference's
+    sequential impaint → resample^n pipeline (seams.py:16-52)."""
+    rng = np.random.RandomState(7)
+    W = 32
+    HW = W * W
+    n = 40
+    imp = rng.choice(HW, size=2 * n, replace=False)
+    s = SeamSampler(
+        impaint_dst=jnp.asarray(imp[:n], jnp.int32),
+        impaint_src=jnp.asarray(imp[n:], jnp.int32),
+        resample_uvs=jnp.asarray(rng.rand(n, 2) * 2.0 - 1.0, jnp.float32),
+        resample_dst=jnp.asarray(rng.choice(HW, size=n, replace=False), jnp.int32),
+        resample_weights=jnp.asarray(rng.rand(n).astype(np.float32)),
+        uv_size=W,
+    )
+    # B·C=6 exercises the texel-grouped (g>1) path; B·C=128 the g=1 path
+    for B, C in ((2, 3), (4, 32)):
+        tex = jnp.asarray(rng.randn(B, W, W, C).astype(np.float32))
+        for n_res in (1, 2):
+            seq = tex
+            seq = s.impaint(seq)
+            for _ in range(n_res):
+                seq = s.resample(seq)
+            fused = s.fused_apply(tex, n_resample=n_res)
+            np.testing.assert_allclose(
+                np.asarray(fused), np.asarray(seq), rtol=1e-5, atol=1e-5
+            )
+
+
+def test_seam_fused_empty_is_identity():
+    from audio2photoreal_tpu.render.assets import empty_seam_sampler
+
+    s = empty_seam_sampler(8)
+    tex = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 2).astype(np.float32))
+    assert s.fused_apply(tex, 2) is tex
+    assert s.impaint(tex) is tex
+    assert s.resample(tex) is tex
+
+
 def test_linear2srgb_anchors():
     assert float(linear2srgb(jnp.array(0.0))) == pytest.approx(0.0, abs=1e-6)
     assert float(linear2srgb(jnp.array(1.0))) == pytest.approx(1.0, abs=1e-3)

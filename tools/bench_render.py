@@ -82,13 +82,25 @@ def main(frame_batch: int = 4, n_runs: int = 5, image=(1024, 704)):
         return preds["tex_rec"], preds["geom"]
 
     def time_fn(fn, *args, tag=""):
+        # NOTE: each timed call must see UNIQUE input data — the device
+        # tunnel can coalesce/cache identical (executable, args) dispatches,
+        # which makes repeat-timing loops read near-zero
         c = jax.jit(fn)
         out = c(*args)
         jax.block_until_ready(out)
+        variants = []
+        for i in range(n_runs):
+            eps = jnp.float32(1e-3 * (i + 1))
+            variants.append(
+                tuple(
+                    a + eps.astype(a.dtype) if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a
+                    for a in args
+                )
+            )
+        jax.block_until_ready(variants)
         t0 = time.perf_counter()
-        for _ in range(n_runs):
-            out = c(*args)
-        jax.block_until_ready(out)
+        outs = [c(*v) for v in variants]
+        jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / n_runs
         print(f"stage {tag}: {dt*1000/B:.1f} ms/frame", file=sys.stderr, flush=True)
         return c, dt
@@ -182,10 +194,11 @@ def main(frame_batch: int = 4, n_runs: int = 5, image=(1024, 704)):
     out = rc(params, motion, campos, K, Rt, embs, face_embs)
     jax.block_until_ready(out)
 
+    motions = [motion + jnp.float32(1e-3 * (i + 1)) for i in range(n_runs)]
+    jax.block_until_ready(motions)
     t0 = time.perf_counter()
-    for _ in range(n_runs):
-        out = rc(params, motion, campos, K, Rt, embs, face_embs)
-    jax.block_until_ready(out)
+    outs = [rc(params, m, campos, K, Rt, embs, face_embs) for m in motions]
+    jax.block_until_ready(outs)
     wall = (time.perf_counter() - t0) / n_runs
     fps = B / wall
     print(
