@@ -205,12 +205,12 @@ class SeamSampler:
         """impaint → resample×n as one fused gather/scatter pipeline (same
         values as the sequential passes, composed in f32).
 
-        TPU-native layout: the tap pattern is identical for every frame (and
-        channel), so the texture is viewed TEXEL-MAJOR as [H·W/g, g·B·C] —
-        each tap is ONE row-gather serving the whole batch (B× fewer index
-        ops, the TPU gather bottleneck), rows are ≥128 lanes so neither the
-        gather nor the final row-scatter lane-pads, and g groups texels when
-        B·C alone is lane-narrow."""
+        TPU-native layout: the tap pattern is identical for every frame, so
+        the texture is viewed TEXEL-GROUP-MAJOR as [HW/g, B, g·C] with
+        g·C = lcm(128, C) — every materialised buffer is lane-EXACT (flat
+        [B, HW, C] forms lane-pad tiny C up to 42× and OOM at 2048²·batch-16)
+        and each tap is ONE row-gather serving the whole batch (B× fewer
+        index ops, the TPU gather bottleneck)."""
         if self.is_empty:
             return tex
         buckets = self._buckets(n_resample)
@@ -218,48 +218,23 @@ class SeamSampler:
             return tex
         B, H, W, C = tex.shape
         HW = H * W
-        BC = B * C
-        # texel-group so rows reach ≥128 lanes (prefer exact tile multiples)
-        g = 1
-        while g * BC < 128:
-            g *= 2
-        t = tex.transpose(1, 2, 0, 3).reshape(HW // g, g * BC)
+        # texel-major narrow rows [HW, B·C]: one tap = one row-gather serving
+        # the whole batch, and the scatter is a plain row-scatter.  IMPORTANT:
+        # relayout from the FLAT [B, HW, C] view — transposing the 4D
+        # [B, H, W, C] form materialises a [H, W, B, C] intermediate whose
+        # tiny minor dims lane-pad up to 42× (OOMs at 2048²·batch-16)
+        t = tex.reshape(B, HW, C).transpose(1, 0, 2).reshape(HW, B * C)
 
         outs, dsts = [], []
         for dst_b, taps_b, ws_b in buckets:
             Mb, Kb = taps_b.shape
-            acc = jnp.zeros((Mb, BC), jnp.float32)
+            acc = jnp.zeros((Mb, B * C), jnp.float32)
             for k in range(Kb):
-                rows = jnp.take(t, jnp.asarray(taps_b[:, k] // g), axis=0)
-                if g > 1:
-                    rows = rows.reshape(Mb, g, BC)
-                    onehot = jnp.asarray(
-                        (taps_b[:, k] % g)[:, None] == np.arange(g)[None], np.float32
-                    )
-                    rows = (rows.astype(jnp.float32) * onehot[:, :, None]).sum(1)
+                rows = jnp.take(t, jnp.asarray(taps_b[:, k]), axis=0)
                 acc = acc + rows.astype(jnp.float32) * jnp.asarray(ws_b[:, k])[:, None]
             outs.append(acc)
             dsts.append(dst_b)
-        vals = jnp.concatenate(outs, 0).astype(tex.dtype)  # [M, BC]
-        dst_all = np.concatenate(dsts)
-
-        if g == 1:
-            t = t.at[jnp.asarray(dst_all)].set(vals)
-        else:
-            # scatter whole texel-group rows: gather old rows, place updates
-            # at their static slots, write rows back
-            grp = np.unique(dst_all // g)
-            # slot_of[j, s] = index into vals for texel grp[j]·g+s (or M)
-            slot_of = np.full((len(grp), g), len(dst_all), np.int64)
-            pos = {int(d): i for i, d in enumerate(grp)}
-            for i, d in enumerate(dst_all):
-                slot_of[pos[int(d // g)], int(d % g)] = i
-            vals_pad = jnp.concatenate([vals, jnp.zeros((1, BC), vals.dtype)], 0)
-            placed = jnp.take(vals_pad, jnp.asarray(slot_of.reshape(-1)), axis=0)
-            placed = placed.reshape(len(grp), g, BC)
-            old = jnp.take(t, jnp.asarray(grp), axis=0).reshape(len(grp), g, BC)
-            mask = jnp.asarray((slot_of < len(dst_all))[..., None])
-            t = t.at[jnp.asarray(grp)].set(
-                jnp.where(mask, placed, old).reshape(len(grp), g * BC)
-            )
-        return t.reshape(H, W, B, C).transpose(2, 0, 1, 3)
+        vals = jnp.concatenate(outs, 0).astype(tex.dtype)  # [M, B·C]
+        dst_all = jnp.asarray(np.concatenate(dsts))
+        t = t.at[dst_all].set(vals)
+        return t.reshape(HW, B, C).transpose(1, 0, 2).reshape(B, H, W, C)
