@@ -236,6 +236,7 @@ def rasterize_pallas(
     spatial_sort: bool = True,
     face_uv: jnp.ndarray = None,  # [F, 3, 2] → also emit per-pixel UV
     emit_barys: bool = None,  # default: only when face_uv is absent
+    remap_ids: bool = True,  # False → face ids stay in Morton-sorted order
 ):
     """→ (face_index [B, H, W], barys [B, H, W, 3], depth [B, H, W],
     uv [B, H, W, 2] or None)."""
@@ -288,8 +289,11 @@ def rasterize_pallas(
 
     outs = jax.vmap(single)(tri, bbox)
     face, dep = outs[0], outs[1]
-    if perm is not None:
-        # kernel face ids index the sorted order — map back to caller ids
+    if perm is not None and remap_ids:
+        # kernel face ids index the sorted order — map back to caller ids.
+        # This batched gather costs ~8 ms/frame at 1024×704·batch-16;
+        # callers that only need the coverage mask (the display path — UV is
+        # interpolated in-kernel) pass remap_ids=False and skip it.
         flat = jnp.maximum(face, 0).reshape(B, -1)
         remapped = perm[jnp.arange(B)[:, None], flat].reshape(face.shape)
         face = jnp.where(face >= 0, remapped.astype(jnp.int32), -1)

@@ -39,19 +39,25 @@ def rasterize(
     chunk: int = 256,
     use_pallas: Optional[bool] = None,
     face_uv: Optional[jnp.ndarray] = None,  # [F, 3, 2] → in-kernel UV interp
+    exact_face_ids: bool = True,
 ) -> RasterOut:
     """Dispatch: the Pallas tile kernel on TPU (10× this XLA path at
     1024×704/7k faces), the XLA chunked scan elsewhere.
 
     ``face_uv`` (per-corner UVs, v already flipped) makes the TPU kernel emit
-    per-pixel UV directly, skipping the interpolate_uv gather."""
+    per-pixel UV directly, skipping the interpolate_uv gather.
+    ``exact_face_ids=False`` skips the Morton-order→caller face-id remap
+    gather (~8 ms/frame at the production point) — face_index then still
+    masks coverage (>= 0 ⇔ covered) but ids index the kernel's sorted
+    order."""
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
     if use_pallas:
         from audio2photoreal_tpu.ops.pallas_raster import rasterize_pallas
 
         face, bary, dep, uv = rasterize_pallas(
-            pix_verts, depth, faces, height, width, face_uv=face_uv
+            pix_verts, depth, faces, height, width, face_uv=face_uv,
+            remap_ids=exact_face_ids,
         )
         return RasterOut(face_index=face, barys=bary, depth=dep, uv=uv)
     return _rasterize_xla(pix_verts, depth, faces, height, width, chunk)
@@ -204,12 +210,17 @@ def render_mesh(
     masked by pix-to-face and the raw rasterization.
 
     ``packed_display=True`` treats ``texture`` as display-space [0, 255] and
-    uses the packed-RGB8 sampler (see render_texture_packed)."""
+    uses the packed-RGB8 sampler (see render_texture_packed); that product
+    path consumes face_index only as a coverage mask, so the raster skips
+    the exact face-id remap."""
     # per-corner UVs with the v-flip baked in — on TPU the kernel interpolates
     # UV in-VMEM (no per-pixel gather)
     fuv = uv_coords[uv_faces]  # [F, 3, 2]
     fuv = jnp.stack([fuv[..., 0], 1.0 - fuv[..., 1]], axis=-1)
-    raster = rasterize(pix_verts, depth, faces, height, width, face_uv=fuv)
+    raster = rasterize(
+        pix_verts, depth, faces, height, width, face_uv=fuv,
+        exact_face_ids=not packed_display,
+    )
     if raster.uv is not None:
         uv_pix = raster.uv
     else:
