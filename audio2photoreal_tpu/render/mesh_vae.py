@@ -347,10 +347,18 @@ class BodyAvatar(nn.Module):
         # ×std+mean in the carrier dtype: f32 constants would upcast the
         # whole 2048² tail (float promotion), tripling its HBM footprint
         tex = tex * jnp.asarray(a.tex_std, tex.dtype) + a.tex_mean[None].astype(tex.dtype)
-        sh = a.seam_2k.fused_apply(shadow_map, n_resample=2)
-        tex = tex * sh
-        tex = a.seam_2k.fused_apply(tex, n_resample=2)
-        return tex
+        # shadow seam → multiply → texture seam all in texel-major rows
+        # (one relayout in/out instead of three round trips)
+        from audio2photoreal_tpu.render.seams import from_texel_rows, to_texel_rows
+
+        B, S, _, _ = tex.shape
+        HW = S * S
+        t = to_texel_rows(tex)  # [HW, B·3]
+        sh = to_texel_rows(shadow_map)  # [HW, B·1]
+        sh = a.seam_2k.fused_apply_rows(sh, B, 1, n_resample=2)
+        t = (t.reshape(HW, B, 3) * sh.reshape(HW, B, 1).astype(t.dtype)).reshape(HW, B * 3)
+        t = a.seam_2k.fused_apply_rows(t, B, 3, n_resample=2)
+        return from_texel_rows(t, B, S, S, 3)
 
     def __call__(
         self,

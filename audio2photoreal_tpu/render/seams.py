@@ -213,18 +213,21 @@ class SeamSampler:
         index ops, the TPU gather bottleneck)."""
         if self.is_empty:
             return tex
+        B, H, W, C = tex.shape
+        t = to_texel_rows(tex)
+        t = self.fused_apply_rows(t, B, C, n_resample)
+        return from_texel_rows(t, B, H, W, C)
+
+    def fused_apply_rows(
+        self, t: jnp.ndarray, B: int, C: int, n_resample: int = 2
+    ) -> jnp.ndarray:
+        """Same as fused_apply but on an already texel-major [H·W, B·C]
+        array — callers chaining several seam sites (forward_tex's shadow →
+        multiply → texture sequence) stay in this layout and pay the
+        relayout transposes once."""
         buckets = self._buckets(n_resample)
         if not buckets:
-            return tex
-        B, H, W, C = tex.shape
-        HW = H * W
-        # texel-major narrow rows [HW, B·C]: one tap = one row-gather serving
-        # the whole batch, and the scatter is a plain row-scatter.  IMPORTANT:
-        # relayout from the FLAT [B, HW, C] view — transposing the 4D
-        # [B, H, W, C] form materialises a [H, W, B, C] intermediate whose
-        # tiny minor dims lane-pad up to 42× (OOMs at 2048²·batch-16)
-        t = tex.reshape(B, HW, C).transpose(1, 0, 2).reshape(HW, B * C)
-
+            return t
         outs, dsts = [], []
         for dst_b, taps_b, ws_b in buckets:
             Mb, Kb = taps_b.shape
@@ -234,7 +237,21 @@ class SeamSampler:
                 acc = acc + rows.astype(jnp.float32) * jnp.asarray(ws_b[:, k])[:, None]
             outs.append(acc)
             dsts.append(dst_b)
-        vals = jnp.concatenate(outs, 0).astype(tex.dtype)  # [M, B·C]
+        vals = jnp.concatenate(outs, 0).astype(t.dtype)  # [M, B·C]
         dst_all = jnp.asarray(np.concatenate(dsts))
-        t = t.at[dst_all].set(vals)
-        return t.reshape(HW, B, C).transpose(1, 0, 2).reshape(B, H, W, C)
+        return t.at[dst_all].set(vals)
+
+
+def to_texel_rows(tex: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] → texel-major narrow rows [H·W, B·C]: one row-gather per
+    tap serves the whole batch, and row-scatters don't lane-pad.  IMPORTANT:
+    relayout from the FLAT [B, HW, C] view — transposing the 4D [B, H, W, C]
+    form materialises a [H, W, B, C] intermediate whose tiny minor dims
+    lane-pad up to 42× (OOMs at 2048²·batch-16)."""
+    B, H, W, C = tex.shape
+    return tex.reshape(B, H * W, C).transpose(1, 0, 2).reshape(H * W, B * C)
+
+
+def from_texel_rows(t: jnp.ndarray, B: int, H: int, W: int, C: int) -> jnp.ndarray:
+    """Inverse of to_texel_rows."""
+    return t.reshape(H * W, B, C).transpose(1, 0, 2).reshape(B, H, W, C)
