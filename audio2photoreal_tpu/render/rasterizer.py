@@ -174,6 +174,7 @@ def render_texture_packed(
     raster: RasterOut,
     uv_pix: jnp.ndarray,  # [B, H, W, 2] uv in [0, 1], v already flipped
     texture_display: jnp.ndarray,  # [B, Ht, Wt, 3] DISPLAY-space float 0..255
+    texture_packed: jnp.ndarray = None,  # [B, Ht, Wt] int32 — already packed
 ) -> jnp.ndarray:
     """Fast product path: pack the display-space texture to RGB8 int32, then
     pre-assemble each texel's 2×2 bilinear neighborhood (both dense
@@ -188,7 +189,9 @@ def render_texture_packed(
         pack_rgb8,
     )
 
-    quad = make_quad_texture(pack_rgb8(texture_display))
+    if texture_packed is None:
+        texture_packed = pack_rgb8(texture_display)
+    quad = make_quad_texture(texture_packed)
     grid = uv_pix * 2.0 - 1.0
     img = grid_sample_bilinear_quad(quad, grid, align_corners=False)
     mask = (raster.face_index >= 0)[..., None]
@@ -205,6 +208,7 @@ def render_mesh(
     height: int,
     width: int,
     packed_display: bool = False,
+    texture_packed: jnp.ndarray = None,  # [B, Ht, Wt] int32 pre-packed RGB8
 ) -> Tuple[jnp.ndarray, RasterOut]:
     """Full RenderLayer equivalent (render.py:28-63): returns the RGB render
     masked by pix-to-face and the raw rasterization.
@@ -226,7 +230,7 @@ def render_mesh(
     else:
         uv_pix = interpolate_uv(raster, uv_coords, uv_faces)
     if packed_display:
-        img = render_texture_packed(raster, uv_pix, texture)
+        img = render_texture_packed(raster, uv_pix, texture, texture_packed=texture_packed)
     else:
         img = render_texture(raster, uv_pix, texture)
     return img, raster

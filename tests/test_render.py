@@ -371,6 +371,31 @@ def test_seam_fused_matches_sequential():
             )
 
 
+def test_seam_fused_packed_close_to_exact():
+    """Display-packed seam (product path) must match the exact float
+    pipeline to within a couple of 8-bit steps (blend runs after the
+    packing quantisation, so ±rounding per tap)."""
+    from audio2photoreal_tpu.ops.gridsample import pack_rgb8, unpack_rgb8
+
+    rng = np.random.RandomState(3)
+    W = 32
+    HW = W * W
+    n = 40
+    imp = rng.choice(HW, size=2 * n, replace=False)
+    s = SeamSampler(
+        impaint_dst=jnp.asarray(imp[:n], jnp.int32),
+        impaint_src=jnp.asarray(imp[n:], jnp.int32),
+        resample_uvs=jnp.asarray(rng.rand(n, 2) * 2.0 - 1.0, jnp.float32),
+        resample_dst=jnp.asarray(rng.choice(HW, size=n, replace=False), jnp.int32),
+        resample_weights=jnp.asarray(rng.rand(n).astype(np.float32)),
+        uv_size=W,
+    )
+    disp = jnp.asarray(rng.rand(2, W, W, 3).astype(np.float32) * 255.0)
+    exact = np.asarray(unpack_rgb8(pack_rgb8(s.fused_apply(disp, 2))))
+    packed = np.asarray(unpack_rgb8(s.fused_apply_packed(pack_rgb8(disp), 2)))
+    assert np.abs(exact - packed).max() <= 2.0
+
+
 def test_seam_fused_empty_is_identity():
     from audio2photoreal_tpu.render.assets import empty_seam_sampler
 
