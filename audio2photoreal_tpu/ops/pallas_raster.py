@@ -104,9 +104,50 @@ def chunk_bboxes(tri: jnp.ndarray, chunk: int) -> jnp.ndarray:
     return jnp.stack([x_min, x_max, y_min, y_max], axis=-1)
 
 
+def tile_chunk_lists(
+    bbox: jnp.ndarray, n_ty: int, n_tx: int, th: int, tw: int
+) -> jnp.ndarray:
+    """[B, C, 4] chunk bboxes → [B, T, C+1] per-tile chunk worklists.
+
+    Row t (= tile i*n_tx+j) holds [count, id0, id1, ..., pad...]: the ids of
+    the chunks whose bbox overlaps tile t, ascending.  The kernel then loops
+    over exactly ``count`` chunks instead of sweeping all C with a branch —
+    the binning prepass is dense XLA (compare + argsort) and amortizes over
+    the whole tile."""
+    B, C, _ = bbox.shape
+    tx0 = (jnp.arange(n_tx) * tw).astype(jnp.float32) - 0.5
+    ty0 = (jnp.arange(n_ty) * th).astype(jnp.float32) - 0.5
+    # overlap[b, i, j, c]
+    ox = (bbox[:, None, :, 0] <= tx0[None, :, None] + tw + 1.0) & (
+        bbox[:, None, :, 1] >= tx0[None, :, None]
+    )  # [B, n_tx, C]
+    oy = (bbox[:, None, :, 2] <= ty0[None, :, None] + th + 1.0) & (
+        bbox[:, None, :, 3] >= ty0[None, :, None]
+    )  # [B, n_ty, C]
+    overlap = oy[:, :, None, :] & ox[:, None, :, :]  # [B, n_ty, n_tx, C]
+    overlap = overlap.reshape(B, n_ty * n_tx, C)
+    cidx = jnp.arange(C, dtype=jnp.int32)
+    # overlapping chunks sort first (keys 0..C-1), in ascending chunk order
+    key = jnp.where(overlap, cidx, C + cidx)
+    ids = jnp.argsort(key, axis=-1).astype(jnp.int32)
+    count = overlap.sum(-1).astype(jnp.int32)
+    out = jnp.concatenate([count[..., None], ids], axis=-1)
+    # rows are staged into SMEM in blocks of 8 (Mosaic block-shape minimum on
+    # the second-to-last dim) — pad the tile axis up
+    pad = (-out.shape[1]) % 8
+    if pad:
+        out = jnp.pad(out, ((0, 0), (0, pad), (0, 0)))
+    return out
+
+
 def _raster_kernel(
-    tri_ref, bbox_ref, *out_refs, th, tw, chunk, n_faces_pad, emit_barys, emit_uv
+    tri_ref, bbox_ref, *out_refs, th, tw, chunk, n_faces_pad, emit_barys, emit_uv,
+    binned=False, n_tx=0,
 ):
+    # binned=True: ``bbox_ref`` is an 8-tile worklist block [8, C+1] from
+    # tile_chunk_lists (SMEM) — loop over exactly count listed chunks.
+    # binned=False: ``bbox_ref`` is the dense [C, 4] bbox table (SMEM) — sweep
+    # all chunks with a 4-compare cull branch per chunk.
     # outputs: face, depth, then [b0, b1, b2] if emit_barys, [u, v] if emit_uv
     # — unconsumed planes are never allocated (XLA cannot DCE custom-call
     # outputs, and at B=16 each full-frame plane is ~48MB of HBM)
@@ -128,19 +169,7 @@ def _raster_kernel(
     tile_y0 = (i * th).astype(jnp.float32) - 0.5
     tile_y1 = (i * th + th).astype(jnp.float32) + 0.5
 
-    def body(c, carry):
-        # chunk-level bbox cull: with Morton-ordered faces (pack_triangles)
-        # consecutive faces cluster spatially, so whole chunks usually miss
-        # the tile and the heavy barycentric math is skipped.  Bboxes are
-        # precomputed densely (chunk_bboxes) — the miss path is 4 SMEM reads.
-        overlaps = (
-            (bbox_ref[c, 0] <= tile_x1)
-            & (bbox_ref[c, 1] >= tile_x0)
-            & (bbox_ref[c, 2] <= tile_y1)
-            & (bbox_ref[c, 3] >= tile_y0)
-        )
-
-        def compute(carry):
+    def chunk_compute(c, carry):
             best_z, best_f = carry[0], carry[1]
             tri = tri_ref[pl.ds(c * chunk, chunk), :]  # [CHUNK, 16]
             xa = tri[:, 0][:, None, None]
@@ -203,14 +232,38 @@ def _raster_kernel(
                 ]
             return tuple(out)
 
-        return jax.lax.cond(overlaps, compute, lambda cr: cr, carry)
-
     n_extra = (3 if emit_barys else 0) + (2 if emit_uv else 0)
     init = (
         jnp.full((th, tw), jnp.inf, jnp.float32),
         jnp.full((th, tw), -1, jnp.int32),
     ) + tuple(jnp.zeros((th, tw), jnp.float32) for _ in range(n_extra))
-    final = jax.lax.fori_loop(0, n_chunks, body, init)
+    if binned:
+        # worklist loop: exactly count chunks, no per-chunk branch.  The SMEM
+        # window holds 8 tiles' rows (Mosaic block minimum); pick ours.
+        row = (i * n_tx + j) % 8
+
+        def body(ii, carry):
+            return chunk_compute(bbox_ref[row, ii + 1], carry)
+
+        final = jax.lax.fori_loop(0, bbox_ref[row, 0], body, init)
+    else:
+        def body(c, carry):
+            # chunk-level bbox cull: with Morton-ordered faces
+            # (pack_triangles) consecutive faces cluster spatially, so whole
+            # chunks usually miss the tile and the heavy barycentric math is
+            # skipped.  Bboxes are precomputed densely (chunk_bboxes) — the
+            # miss path is 4 SMEM reads.
+            overlaps = (
+                (bbox_ref[c, 0] <= tile_x1)
+                & (bbox_ref[c, 1] >= tile_x0)
+                & (bbox_ref[c, 2] <= tile_y1)
+                & (bbox_ref[c, 3] >= tile_y0)
+            )
+            return jax.lax.cond(
+                overlaps, lambda cr: chunk_compute(c, cr), lambda cr: cr, carry
+            )
+
+        final = jax.lax.fori_loop(0, n_chunks, body, init)
     face_ref[:, :] = final[1]
     depth_ref[:, :] = final[0]
     # barycentrics/UVs as planar outputs: a trailing dim of 3 would pad to
@@ -237,6 +290,8 @@ def rasterize_pallas(
     face_uv: jnp.ndarray = None,  # [F, 3, 2] → also emit per-pixel UV
     emit_barys: bool = None,  # default: only when face_uv is absent
     remap_ids: bool = True,  # False → face ids stay in Morton-sorted order
+    binned: bool = True,  # per-tile chunk worklists (tile_chunk_lists) vs
+    # dense chunk sweep with an in-kernel bbox cull branch
 ):
     """→ (face_index [B, H, W], barys [B, H, W, 3], depth [B, H, W],
     uv [B, H, W, 2] or None)."""
@@ -261,23 +316,36 @@ def rasterize_pallas(
         emit_barys = not emit_uv
     n_extra = (3 if emit_barys else 0) + (2 if emit_uv else 0)
 
+    bbox = chunk_bboxes(tri, chunk)  # [B, n_chunks, 4]
+    n_ty, n_tx = Hp // th, Wp // tw
+    n_chunks = F_pad // chunk
     kernel = functools.partial(
         _raster_kernel, th=th, tw=tw, chunk=chunk, n_faces_pad=F_pad,
-        emit_barys=emit_barys, emit_uv=emit_uv,
+        emit_barys=emit_barys, emit_uv=emit_uv, binned=binned, n_tx=n_tx,
     )
 
-    bbox = chunk_bboxes(tri, chunk)  # [B, n_chunks, 4]
+    if binned:
+        # [B, T_pad, C+1] worklists; programs stage 8-tile row blocks
+        aux = tile_chunk_lists(bbox, n_ty, n_tx, th, tw)
+        aux_spec = pl.BlockSpec(
+            (8, n_chunks + 1),
+            lambda i, j: ((i * n_tx + j) // 8, 0),
+            memory_space=pltpu.SMEM,
+        )
+    else:
+        aux = bbox
+        aux_spec = pl.BlockSpec(
+            (n_chunks, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+        )
 
     def single(tri_b, bbox_b):
         tile_spec = lambda: pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
-            grid=(Hp // th, Wp // tw),
+            grid=(n_ty, n_tx),
             in_specs=[
                 pl.BlockSpec((F_pad, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (F_pad // chunk, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM
-                ),
+                aux_spec,
             ],
             out_specs=tuple(tile_spec() for _ in range(2 + n_extra)),
             out_shape=(jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),)
@@ -287,7 +355,7 @@ def rasterize_pallas(
             interpret=interpret,
         )(tri_b, bbox_b)
 
-    outs = jax.vmap(single)(tri, bbox)
+    outs = jax.vmap(single)(tri, aux)
     face, dep = outs[0], outs[1]
     if perm is not None and remap_ids:
         # kernel face ids index the sorted order — map back to caller ids.

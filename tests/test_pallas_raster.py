@@ -63,3 +63,19 @@ def test_pallas_single_triangle():
     assert int(face[0, 47, 47]) == -1
     s = float(bary[0, 3, 3].sum())
     assert s == pytest.approx(1.0, abs=1e-5)
+
+
+def test_binned_matches_dense_sweep():
+    """Per-tile worklist loop (tile_chunk_lists) == dense chunk sweep."""
+    H = W = 64
+    pix, depth, faces = _random_mesh(n_faces=64, seed=3, H=H, W=W)
+    outs = {}
+    for binned in (True, False):
+        face, bary, dep, _ = rasterize_pallas(
+            pix, depth, faces, H, W, tile=(32, 32), chunk=8, interpret=True,
+            emit_barys=True, binned=binned,
+        )
+        outs[binned] = (np.asarray(face), np.asarray(bary), np.asarray(dep))
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+    np.testing.assert_allclose(outs[True][1], outs[False][1], atol=1e-6)
+    np.testing.assert_allclose(outs[True][2], outs[False][2], atol=1e-6)
