@@ -53,12 +53,21 @@ class BodyRenderer:
         cameras: Dict[str, Camera],
         frame_batch: int = 16,  # bigger batches amortize raster/shadow (bench:
         # 19.4 FPS @B=8 → 22 @B=16 at 1024×704); multicam divides by n_cams
+        mesh=None,  # jax.sharding.Mesh with a "data" axis → frames of each
+        # batch are sharded across chips (render is embarrassingly parallel
+        # over frames; params replicate, no collectives in the hot loop)
     ):
         self.cfg = cfg
         self.assets = assets
         self.model = BodyAvatar(cfg, assets)
         self.params = params
         self.cameras = cameras
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            # round the per-call batch up to a devices multiple so every
+            # shard is non-empty (render_sequence pads the tail anyway)
+            frame_batch = -(-frame_batch // n_dev) * n_dev
         self.frame_batch = frame_batch
 
         def render_frames(params, motion, face_codes, campos, K, Rt):
@@ -79,7 +88,18 @@ class BodyRenderer:
             )
             return preds["rgb"]
 
-        self._render = jax.jit(render_frames)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+            self._render = jax.jit(
+                render_frames,
+                in_shardings=(rep,) + (shard,) * 5,
+                out_shardings=shard,
+            )
+        else:
+            self._render = jax.jit(render_frames)
 
     def _stack_cams(self):
         cams = list(self.cameras.values())
@@ -188,6 +208,7 @@ def load_body_renderer(
     renderer_dir: str,
     cfg: Optional[RendererConfig] = None,
     frame_batch: int = 8,
+    mesh=None,
 ) -> BodyRenderer:
     """Load a renderer bundle dir: ``assets.npz``/``static_assets.pt`` +
     ``ckpt/`` (converted body_dec params) + ``cameras.npz`` (the role of the
@@ -198,4 +219,4 @@ def load_body_renderer(
         load_renderer_bundle,
     )
 
-    return load_renderer_bundle(renderer_dir, cfg=cfg, frame_batch=frame_batch)
+    return load_renderer_bundle(renderer_dir, cfg=cfg, frame_batch=frame_batch, mesh=mesh)

@@ -200,7 +200,7 @@ def save_renderer_bundle(out_dir: str, cfg: RendererConfig, params, cameras) -> 
     return out_dir
 
 
-def load_renderer_bundle(renderer_dir: str, cfg=None, frame_batch: int = 8):
+def load_renderer_bundle(renderer_dir: str, cfg=None, frame_batch: int = 8, mesh=None):
     """Load a renderer bundle dir (see save_renderer_bundle) → BodyRenderer."""
     import json
     import os
@@ -223,7 +223,7 @@ def load_renderer_bundle(renderer_dir: str, cfg=None, frame_batch: int = 8):
         str(n): Camera(campos=camf["campos"][i], K=camf["K"][i], Rt=camf["Rt"][i])
         for i, n in enumerate(camf["names"])
     }
-    return BodyRenderer(cfg, assets, params, cameras, frame_batch=frame_batch)
+    return BodyRenderer(cfg, assets, params, cameras, frame_batch=frame_batch, mesh=mesh)
 
 
 def load_render_defaults(path: str):

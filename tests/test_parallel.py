@@ -68,3 +68,55 @@ def test_collectives_noop_without_mesh():
     assert jnp.allclose(pmean(x, "data"), x)
     assert jnp.allclose(psum(x, "data"), x)
     assert all_gather(x, "data").shape == (1, 4)
+
+
+def test_meshed_renderer_matches_single_device():
+    """BodyRenderer with a data mesh shards the frame batch across devices
+    (render is frame-parallel, params replicated) and must reproduce the
+    single-device frames exactly."""
+    import jax
+    import numpy as np
+
+    from audio2photoreal_tpu.apps.render_pipeline import BodyRenderer, Camera
+    from audio2photoreal_tpu.parallel import MeshSpec, create_mesh
+    from audio2photoreal_tpu.render.assets import make_synthetic_assets
+    from audio2photoreal_tpu.render.mesh_vae import BodyAvatar, RendererConfig
+
+    rcfg = RendererConfig(
+        uv_size=64, init_uv_size=16, upscale_size=128, n_embs=32, n_face_embs=256,
+        n_pose_enc_channels=8, n_embs_enc_channels=8, n_init_channels=16,
+        n_min_channels=4, shadow_size=32, view_unet_ftrs=4, encoder_in_size=64,
+        face_tex_size=64, n_face_verts=64, image_height=48, image_width=32,
+    )
+    assets = make_synthetic_assets(rcfg)
+    model = BodyAvatar(rcfg, assets)
+    motion0 = np.zeros((1, 104), np.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        motion0, np.zeros((1, 3), np.float32),
+        geom=assets.lbs.pose(None, motion0),
+        face_embs=np.zeros((1, 256), np.float32),
+    )
+    cams = {
+        "cam0": Camera(
+            campos=np.array([0.0, -3.0, 1.0], np.float32),
+            K=np.array([[40.0, 0, 16], [0, 40.0, 24], [0, 0, 1]], np.float32),
+            Rt=np.array([[1, 0, 0, 0], [0, 0, -1, 1], [0, 1, 0, 3]], np.float32),
+        ),
+    }
+    rng = np.random.RandomState(0)
+    T = 10
+    pose = rng.randn(T, 104).astype(np.float32) * 0.05
+    face = rng.randn(T, 256).astype(np.float32) * 0.05
+
+    single = BodyRenderer(rcfg, assets, params, cams, frame_batch=8)
+    mesh = create_mesh(MeshSpec((-1,), ("data",)))
+    sharded = BodyRenderer(rcfg, assets, params, cams, frame_batch=8, mesh=mesh)
+    assert sharded.frame_batch % len(jax.devices()) == 0
+
+    f_single = single.render_sequence(pose, face)
+    f_sharded = sharded.render_sequence(pose, face)
+    assert f_single.shape == f_sharded.shape == (T, 48, 32, 3)
+    # uint8 frames: allow ±1 count differences from fused rounding
+    diff = np.abs(f_single.astype(np.int32) - f_sharded.astype(np.int32))
+    assert diff.max() <= 1
