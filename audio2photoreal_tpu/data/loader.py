@@ -111,15 +111,23 @@ class FastLoader:
         self.nfeats = 104 if cfg.data_format == "pose" else 256
 
     def _read_rows(self, path: str, start: int, L: int, mean, inv: float, wrap: bool):
-        if HAVE_FASTDATA and not wrap:
-            buf, cols = fastdata.read_npy_rows(path, start, L)
-            return np.frombuffer(
-                fastdata.normalize_rows(buf, np.asarray(mean, np.float32).tobytes(), inv),
-                np.float32,
-            ).reshape(L, cols)
         if HAVE_FASTDATA:
+            # the root-angle wrap runs inside the fused C z-norm (wrap_col=3)
+            # so capture-1/2 persons stay on the fast path
             buf, cols = fastdata.read_npy_rows(path, start, L)
-            raw = np.frombuffer(buf, np.float32).reshape(L, cols).copy()
+            try:
+                out = fastdata.normalize_rows(
+                    buf, np.asarray(mean, np.float32).tobytes(), inv,
+                    3 if wrap else -1,
+                )
+                return np.frombuffer(out, np.float32).reshape(L, cols)
+            except TypeError:  # stale extension without wrap_col — rebuild path
+                if not wrap:
+                    out = fastdata.normalize_rows(
+                        buf, np.asarray(mean, np.float32).tobytes(), inv
+                    )
+                    return np.frombuffer(out, np.float32).reshape(L, cols)
+                raw = np.frombuffer(buf, np.float32).reshape(L, cols).copy()
         else:
             raw = np.asarray(np.load(path, mmap_mode="r")[start : start + L], np.float32)
         if wrap:

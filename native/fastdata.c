@@ -162,12 +162,17 @@ static PyObject *read_npy_rows(PyObject *self, PyObject *args) {
 
 /* fused (x - mean) * inv_std over float32 buffers; mean broadcast over rows */
 static PyObject *normalize_rows(PyObject *self, PyObject *args) {
+    /* normalize_rows(x, mean, inv_std, wrap_col=-1): fused z-norm; when
+     * wrap_col >= 0, negative values in that column first get +2*pi — the
+     * capture-1/2 root-angle wrap (reference get_data.py:74-77), applied
+     * natively so those persons stay on the C fast path. */
     Py_buffer x, mean;
     double inv_std;
-    if (!PyArg_ParseTuple(args, "y*y*d", &x, &mean, &inv_std)) return NULL;
+    Py_ssize_t wrap_col = -1;
+    if (!PyArg_ParseTuple(args, "y*y*d|n", &x, &mean, &inv_std, &wrap_col)) return NULL;
     Py_ssize_t n = x.len / 4;
     Py_ssize_t c = mean.len / 4;
-    if (c == 0 || n % c) {
+    if (c == 0 || n % c || wrap_col >= c) {
         PyBuffer_Release(&x); PyBuffer_Release(&mean);
         return PyErr_Format(PyExc_ValueError, "length mismatch");
     }
@@ -177,8 +182,13 @@ static PyObject *normalize_rows(PyObject *self, PyObject *args) {
     const float *src = (const float *)x.buf;
     const float *mu = (const float *)mean.buf;
     float is = (float)inv_std;
+    const float two_pi = 6.283185307179586f;
     Py_BEGIN_ALLOW_THREADS
-    for (Py_ssize_t i = 0; i < n; i++) dst[i] = (src[i] - mu[i % c]) * is;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        float v = src[i];
+        if (wrap_col >= 0 && i % c == wrap_col && v < 0.0f) v += two_pi;
+        dst[i] = (v - mu[i % c]) * is;
+    }
     Py_END_ALLOW_THREADS
     PyBuffer_Release(&x);
     PyBuffer_Release(&mean);
@@ -191,7 +201,7 @@ static PyMethodDef Methods[] = {
     {"read_npy_rows", read_npy_rows, METH_VARARGS,
      "read_npy_rows(path, start_row, n_rows) -> (float32 bytes, n_cols)"},
     {"normalize_rows", normalize_rows, METH_VARARGS,
-     "normalize_rows(x_bytes, mean_bytes, inv_std) -> float32 bytes"},
+     "normalize_rows(x_bytes, mean_bytes, inv_std, wrap_col=-1) -> float32 bytes"},
     {NULL, NULL, 0, NULL},
 };
 

@@ -134,3 +134,37 @@ def test_fast_loader_matches_dataset_contract(tmp_path):
     it = prefetch(iter([{"a": np.ones(1)}, {"a": np.zeros(1)}]))
     items = list(it)
     assert len(items) == 2
+
+
+def test_fast_loader_native_root_wrap(tmp_path):
+    """The C fused z-norm applies the capture-1/2 root-angle wrap (wrap_col=3)
+    so PXB184/RLW104 stay on the fast path — must equal the python
+    _wrap_root_angle + z-norm exactly (ADVICE round-1 #3)."""
+    from audio2photoreal_tpu.core.config import DataConfig
+    from audio2photoreal_tpu.data.dataset import _wrap_root_angle
+    from audio2photoreal_tpu.data.fixtures import make_synthetic_person
+    from audio2photoreal_tpu.data.loader import HAVE_FASTDATA, FastLoader, SceneIndex
+    from audio2photoreal_tpu.data.stats import DataStats
+
+    make_synthetic_person(str(tmp_path), "PXB184", num_scenes=1, frames_per_scene=64)
+    base = str(tmp_path / "PXB184" / "scene00")
+    # force negatives into the root-angle column so the wrap actually fires
+    pose_path = base + "_body_pose.npy"
+    pose = np.load(pose_path)
+    pose[:, 3] = np.linspace(-1.5, 1.5, len(pose))
+    np.save(pose_path, pose)
+
+    idx = SceneIndex(str(tmp_path), "PXB184", split="all")
+    stats = DataStats.load(str(tmp_path / "PXB184" / "data_stats.npz"))
+    cfg = DataConfig(person="PXB184", max_seq_length=48, min_seq_length=32)
+    loader = FastLoader(idx, stats, cfg, seed=0)
+    assert loader.wrap_root
+    got = loader._read_rows(pose_path, 0, 48, stats.pose_mean, loader.inv_pose, True)
+    want = ((_wrap_root_angle(pose[:48].astype(np.float32)) - stats.pose_mean)
+            * loader.inv_pose).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    if HAVE_FASTDATA:
+        # sanity: the fast path really ran (wrap col changed vs unwrapped norm)
+        unwrapped = ((pose[:48].astype(np.float32) - stats.pose_mean)
+                     * loader.inv_pose).astype(np.float32)
+        assert not np.allclose(got[:, 3], unwrapped[:, 3])
