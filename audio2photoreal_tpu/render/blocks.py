@@ -71,6 +71,13 @@ class UpConvBlockDeep(nn.Module):
     out_channels: int
     size: int  # output size
     groups: int = 1
+    # space-to-depth level for the lane-bound fast path.  Level 2 (4×4
+    # blocks) wins in ISOLATED conv microbenchmarks (1.53 → 1.14 ms/frame at
+    # 16ch/1024²) but LOSES in the full decoder (conv_decoder 13.4 → 19.7
+    # ms/frame, bench_render B=16): the extra relayouts break XLA fusion
+    # with the surrounding resize/seam ops.  Kept as an opt-in (tested for
+    # exactness) — default stays 1.
+    s2d_level: int = 1
 
     def _use_s2d(self, cin: int) -> bool:
         # the s2d path wins when the conv is lane-bound: big spatial extent,
@@ -101,24 +108,30 @@ class UpConvBlockDeep(nn.Module):
             return h + skip
         # ---- space-to-depth fast path: identical math, full vector lanes ----
         # the SAME WN layer modules declare the parameters (identical trees /
-        # converters); `s2d=True` runs their conv algebra in s2d coordinates
+        # converters); `s2d` runs their conv algebra in s2d coordinates
         from audio2photoreal_tpu.render.layers import depth_to_space, space_to_depth
 
-        s = space_to_depth(x_up)
+        lvl = self.s2d_level if self.size >= 4 * 2**self.s2d_level else 1
+        s = x_up
+        for _ in range(lvl):
+            s = space_to_depth(s)
         skip = Conv2dWN(
             self.out_channels, kernel_size=1, padding=0, groups=self.groups,
             name="conv_resize",
-        )(s, s2d=True)
+        )(s, s2d=lvl)
         h = Conv2dWNUB(
             cin, self.size, self.size, 3, 1, 1, groups=self.groups, name="conv1"
-        )(s, s2d=True)
+        )(s, s2d=lvl)
         h = lrelu(h)
         h = Conv2dWNUB(
             self.out_channels, self.size, self.size, 3, 1, 1, groups=self.groups,
             name="conv2",
-        )(h, s2d=True)
+        )(h, s2d=lvl)
         h = lrelu(h)
-        return depth_to_space(h + skip)
+        h = h + skip
+        for _ in range(lvl):
+            h = depth_to_space(h)
+        return h
 
 
 class UpscaleNet(nn.Module):
@@ -129,16 +142,22 @@ class UpscaleNet(nn.Module):
     n_ftrs: int = 16
     size: int = 1024
     upscale_factor: int = 2
+    # see UpConvBlockDeep.s2d_level: level 2 wins in isolation, loses in the
+    # full forward_tex (9.4 → 11.6 ms/frame) — opt-in only, default 1
+    s2d_level: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # two 3×3 convs (reference blocks.py:761-766), then the 1×1 out block.
         # ≤16-channel convs at 1024² are lane-bound — run them in s2d coords
-        s2d = self.size >= 256 and x.shape[-1] <= 32 and self.n_ftrs <= 32
+        s2d = 0
+        if self.size >= 256 and x.shape[-1] <= 32 and self.n_ftrs <= 32:
+            s2d = self.s2d_level
         if s2d:
             from audio2photoreal_tpu.render.layers import depth_to_space, space_to_depth
 
-            x = space_to_depth(x)
+            for _ in range(s2d):
+                x = space_to_depth(x)
         h = Conv2dWNUB(self.n_ftrs, self.size, self.size, 3, 1, 1, name="conv_block0")(x, s2d=s2d)
         h = lrelu(h)
         h = Conv2dWNUB(self.n_ftrs, self.size, self.size, 3, 1, 1, name="conv_block1")(h, s2d=s2d)
@@ -148,5 +167,6 @@ class UpscaleNet(nn.Module):
             self.size, self.size, 1, 1, 0, name="out_block",
         )(h, s2d=s2d)
         if s2d:
-            h = depth_to_space(h)
+            for _ in range(s2d):
+                h = depth_to_space(h)
         return pixel_shuffle(h, self.upscale_factor)

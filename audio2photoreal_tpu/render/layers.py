@@ -143,6 +143,44 @@ def conv1x1_s2d(x_s2d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _s2d2_conv3x3_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """[3, 3, Cin, Cout] → the equivalent [3, 3, 16Cin, 16Cout] kernel two
+    space-to-depth levels down (4×4 pixel blocks).
+
+    The level-1 map sends "3×3 stride-1 pad-1 conv on G" to "3×3 stride-1
+    pad-1 conv on s2d(G)", so applying it twice composes exactly, and the
+    channel layout (r2y, r2x, r1y, r1x, c) matches
+    ``space_to_depth(space_to_depth(x))``.  Measured on v5e: the raw 16-ch
+    1024² conv is lane-bound at 4.95 ms/frame, level 1 runs 1.53, level 2
+    runs ≤1.14 (B=16, bf16) despite the 16× nominal FLOPs — the kernel is
+    ~89% zeros but the MXU is otherwise idle.  CAVEAT: in the full decoder
+    the extra relayouts break XLA fusion with neighboring resize/seam ops
+    and level 2 is a net LOSS (conv_decoder 13.4 → 19.7 ms/frame) — product
+    modules default to level 1; this stays as a tested opt-in."""
+    return _s2d_conv3x3_kernel(_s2d_conv3x3_kernel(w))
+
+
+def conv3x3_s2d2(x_s2d2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-1 pad-1 3×3 conv applied two s2d levels down.
+    x_s2d2: [B, H/4, W/4, 16Cin]; w: the ORIGINAL [3, 3, Cin, Cout]."""
+    w2 = _s2d2_conv3x3_kernel(w)
+    return jax.lax.conv_general_dilated(
+        x_s2d2, w2, (1, 1), [(1, 1)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def conv1x1_s2d2(x_s2d2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """1×1 conv two s2d levels down: block-diagonal [16Cin, 16Cout] matmul."""
+    cin, cout = w.shape[2], w.shape[3]
+    blocks = jnp.zeros((16, cin, 16, cout), w.dtype)
+    idx = jnp.arange(16)
+    blocks = blocks.at[idx, :, idx, :].set(jnp.repeat(w[0, 0][None], 16, axis=0))
+    w2 = blocks.reshape(1, 1, 16 * cin, 16 * cout)
+    return jax.lax.conv_general_dilated(
+        x_s2d2, w2, (1, 1), [(0, 0)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
 def _s2d_down4x4_kernel(w: jnp.ndarray) -> jnp.ndarray:
     """[4, 4, Cin, Cout] stride-2 pad-1 conv → [3, 3, 4Cin, Cout] stride-1
     pad-1 kernel consuming s2d input and emitting the half-res grid directly
@@ -235,22 +273,25 @@ def _grouped_conv(x, w, stride: int, padding: int, groups: int) -> jnp.ndarray:
     return jnp.concatenate(outs, axis=-1)
 
 
-def _s2d_grouped(x_s2d: jnp.ndarray, w: jnp.ndarray, groups: int, conv_fn) -> jnp.ndarray:
+def _s2d_grouped(
+    x_s2d: jnp.ndarray, w: jnp.ndarray, groups: int, conv_fn, phases: int = 4
+) -> jnp.ndarray:
     """Run a per-group s2d conv: the s2d channel layout interleaves
-    (phase, c), so group-split happens on the inner c axis."""
+    (phase, c), so group-split happens on the inner c axis.  ``phases`` is
+    4**level (4 for one s2d application, 16 for two)."""
     if groups == 1:
         return conv_fn(x_s2d, w)
-    B, H, W, C4 = x_s2d.shape
-    C = C4 // 4
+    B, H, W, CP = x_s2d.shape
+    C = CP // phases
     cg = C // groups
-    xg = x_s2d.reshape(B, H, W, 4, C)
+    xg = x_s2d.reshape(B, H, W, phases, C)
     outs = []
     cout_g = w.shape[-1] // groups
     for gi in range(groups):
-        xi = xg[..., gi * cg : (gi + 1) * cg].reshape(B, H, W, 4 * cg)
+        xi = xg[..., gi * cg : (gi + 1) * cg].reshape(B, H, W, phases * cg)
         wi = w[..., gi * cout_g : (gi + 1) * cout_g]
-        outs.append(conv_fn(xi, wi).reshape(B, H, W, 4, cout_g))
-    return jnp.concatenate(outs, axis=-1).reshape(B, H, W, 4 * cout_g * groups)
+        outs.append(conv_fn(xi, wi).reshape(B, H, W, phases, cout_g))
+    return jnp.concatenate(outs, axis=-1).reshape(B, H, W, phases * cout_g * groups)
 
 
 class Conv2dWN(nn.Module):
@@ -261,8 +302,10 @@ class Conv2dWN(nn.Module):
     groups: int = 1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, s2d: bool = False) -> jnp.ndarray:
-        cin = (x.shape[-1] // 4) if s2d else x.shape[-1]
+    def __call__(self, x: jnp.ndarray, s2d: int = 0) -> jnp.ndarray:
+        # ``s2d`` is the space-to-depth level (bool True == 1; 2 = 4×4 blocks)
+        phases = 4 ** int(s2d)
+        cin = x.shape[-1] // phases
         k = self.kernel_size
         v = self.param(
             "v", nn.initializers.lecun_normal(), (k, k, cin // self.groups, self.features)
@@ -272,12 +315,13 @@ class Conv2dWN(nn.Module):
         w = _wn_kernel(v, g)
         if s2d:
             # identical math in space-to-depth coordinates (full vector lanes)
-            assert self.stride == 1
-            fn = conv3x3_s2d if k == 3 else conv1x1_s2d
-            assert k in (1, 3)
-            out = _s2d_grouped(x.astype(w.dtype), w, self.groups, fn)
-            B, H, W, _ = out.shape
-            return out + jnp.tile(b.astype(w.dtype), 4)[None, None, None]
+            assert self.stride == 1 and k in (1, 3)
+            if int(s2d) == 1:
+                fn = conv3x3_s2d if k == 3 else conv1x1_s2d
+            else:
+                fn = conv3x3_s2d2 if k == 3 else conv1x1_s2d2
+            out = _s2d_grouped(x.astype(w.dtype), w, self.groups, fn, phases=phases)
+            return out + jnp.tile(b.astype(w.dtype), phases)[None, None, None]
         out = _grouped_conv(x.astype(w.dtype), w, self.stride, self.padding, self.groups)
         return out + b.astype(w.dtype)
 
@@ -298,11 +342,12 @@ class Conv2dWNUB(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        s2d: bool = False,
+        s2d: int = 0,
         s2d_down: bool = False,
         weights_only: bool = False,
     ) -> jnp.ndarray:
-        cin = (x.shape[-1] // 4) if (s2d or s2d_down) else x.shape[-1]
+        phases = 4 if s2d_down else 4 ** int(s2d)
+        cin = x.shape[-1] // phases
         k = self.kernel_size
         v = self.param(
             "v", nn.initializers.lecun_normal(), (k, k, cin // self.groups, self.features)
@@ -324,9 +369,15 @@ class Conv2dWNUB(nn.Module):
             return out + bias[None].astype(w.dtype)
         if s2d:
             assert self.stride == 1 and k in (1, 3)
-            fn = conv3x3_s2d if k == 3 else conv1x1_s2d
-            out = _s2d_grouped(x.astype(w.dtype), w, self.groups, fn)
-            return out + space_to_depth(bias[None].astype(w.dtype))
+            if int(s2d) == 1:
+                fn = conv3x3_s2d if k == 3 else conv1x1_s2d
+            else:
+                fn = conv3x3_s2d2 if k == 3 else conv1x1_s2d2
+            out = _s2d_grouped(x.astype(w.dtype), w, self.groups, fn, phases=phases)
+            b = bias[None].astype(w.dtype)
+            for _ in range(int(s2d)):
+                b = space_to_depth(b)
+            return out + b
         out = _grouped_conv(x.astype(w.dtype), w, self.stride, self.padding, self.groups)
         return out + bias[None].astype(w.dtype)
 

@@ -222,6 +222,40 @@ def test_upscale_net_matches_reference():
     _assert_close(out_j, out_t)
 
 
+def test_upscale_net_s2d2_path_matches_reference():
+    """The opt-in LEVEL-2 space-to-depth conv algebra (4×4 blocks) must stay
+    numerically equal to the reference (it loses to level 1 in the full
+    decoder, so production keeps the default — but the algebra is exact)."""
+    from audio2photoreal_tpu.render.blocks import UpscaleNet
+
+    ref = _rand_init(RefUpscaleNet(in_channels=6, out_channels=3, n_ftrs=4, size=512))
+    x = torch.randn(1, 6, 512, 512)
+    with torch.no_grad():
+        out_t = ref(x)
+    sd = {f"u.{k}": v for k, v in ref.state_dict().items()}
+    params = {"params": convert.convert_upscale_net(sd, "u")}
+    out_j = UpscaleNet(out_channels=3, n_ftrs=4, size=512, s2d_level=2).apply(
+        params, _nchw(x)
+    )
+    _assert_close(out_j, out_t, atol=1e-4)
+
+
+def test_up_conv_block_deep_s2d2_path_matches_reference():
+    """Opt-in level-2 s2d path in UpConvBlockDeep stays exact."""
+    from audio2photoreal_tpu.render.blocks import UpConvBlockDeep
+
+    ref = _rand_init(RefUpConvBlockDeep(32, 32, 512, groups=2))
+    x = torch.randn(1, 32, 256, 256)
+    with torch.no_grad():
+        out_t = ref(x)
+    sd = {f"b.{k}": v for k, v in ref.state_dict().items()}
+    params = {"params": convert._conv_block(sd, "b")}
+    blk = UpConvBlockDeep(32, 512, groups=2, s2d_level=2)
+    assert blk._use_s2d(32)
+    out_j = blk.apply(params, _nchw(x))
+    _assert_close(out_j, out_t, atol=2e-4)
+
+
 def test_geom_diagnostics_match_reference():
     """project_points_multi / depth2normals vs the real reference geom.py
     (pytorch3d stubbed — only the UV rasterizer needs it)."""

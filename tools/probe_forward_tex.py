@@ -38,8 +38,11 @@ params = jax.jit(model.init)(
 def chain(name, body):
     f = jax.jit(lambda p, a, b: jax.lax.scan(
         lambda c, _: (body(c, p, a, b), None), jnp.float32(0.0), None, length=K)[0])
-    out = f(params, tex_mean, tex_view); jax.block_until_ready(out)
-    t0 = time.time(); out = f(params, tex_mean, tex_view); jax.block_until_ready(out)
+    float(f(params, tex_mean, tex_view))  # warmup; FETCH forces execution
+    # (the tunnel defers until a fetch and serves repeated identical calls
+    # from a result cache) — time with fresh argument values
+    t0 = time.time()
+    float(f(params, tex_mean + jnp.bfloat16(0.25), tex_view + jnp.bfloat16(0.25)))
     print(f"{name}: {(time.time()-t0)/K/B*1000:.2f} ms/frame", flush=True)
 
 

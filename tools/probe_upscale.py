@@ -23,8 +23,11 @@ params = jax.jit(net.init)(jax.random.PRNGKey(0), x6)
 def chain(name, body, *args):
     f = jax.jit(lambda p, *a: jax.lax.scan(
         lambda c, _: (body(c, p, *a), None), jnp.float32(0.0), None, length=K)[0])
-    out = f(params, *args); jax.block_until_ready(out)
-    t0 = time.time(); out = f(params, *args); jax.block_until_ready(out)
+    float(f(params, *args))  # warmup; the scalar must be FETCHED (the tunnel
+    # defers execution until a fetch, and serves repeated identical calls
+    # from a result cache) — time with fresh argument values
+    args2 = tuple(a + jnp.bfloat16(0.25) for a in args)
+    t0 = time.time(); float(f(params, *args2))
     print(f"{name}: {(time.time()-t0)/K/B*1000:.2f} ms/frame", flush=True)
 
 
