@@ -80,6 +80,11 @@ class DemoPipeline:
 
     def _load(self, path):
         cfgs = load_config(path)
+        if cfgs["denoiser"].frontend_dtype != "float32":
+            import dataclasses as _dc
+
+            # inference forces the exact-parity f32 frontend (see generate.py)
+            cfgs["denoiser"] = _dc.replace(cfgs["denoiser"], frontend_dtype="float32")
         model = FiLMDenoiser(cfgs["denoiser"])
         restored = checkpoints.restore(os.path.join(path, "ckpt"), None)
         state = restored["state"] if "state" in restored else restored

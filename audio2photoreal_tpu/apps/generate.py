@@ -111,6 +111,12 @@ def generate(
     mcfg: DenoiserConfig = cfgs["denoiser"]
     dcfg: DiffusionConfig = cfgs["diffusion"]
     datacfg: DataConfig = cfgs["data"]
+    if mcfg.frontend_dtype != "float32":
+        # the frozen wav2vec frontend may train in bf16 (speed), but inference
+        # holds the 1e-3-of-reference parity target — force exact f32
+        import dataclasses as _dc
+
+        mcfg = _dc.replace(mcfg, frontend_dtype="float32")
 
     model = FiLMDenoiser(mcfg)
     restored = checkpoints.restore(os.path.join(model_path, "ckpt"), None)

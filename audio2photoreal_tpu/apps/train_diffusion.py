@@ -140,6 +140,14 @@ def main():
     p.add_argument("--max_seq_length", type=int, default=600)
     p.add_argument("--save_interval", type=int, default=5000)
     p.add_argument("--seed", type=int, default=10)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
+                   help="denoiser compute dtype (bfloat16 recommended on TPU)")
+    p.add_argument("--remat", action="store_true",
+                   help="gradient-checkpoint decoder layers (needed for bs64x600 on 16G HBM)")
+    p.add_argument("--frontend_dtype", choices=["float32", "bfloat16"], default="float32",
+                   help="frozen wav2vec frontend matmul dtype; bfloat16 cuts its "
+                        "cost ~3x (f32 accumulation, f32 norms; features deviate "
+                        "~0.3%% rel from the reference — fine for training)")
     args = p.parse_args()
 
     nfeats = 104 if args.data_format == "pose" else 256
@@ -151,6 +159,9 @@ def main():
         num_layers=args.layers,
         num_heads=args.heads,
         max_seq_length=args.max_seq_length,
+        dtype=args.dtype,
+        remat=args.remat,
+        frontend_dtype=args.frontend_dtype,
     )
     dcfg = DiffusionConfig(lambda_vel=args.lambda_vel)
     datacfg = DataConfig(

@@ -102,9 +102,13 @@ def main():
     p.add_argument("--dim", type=int, default=512)
     p.add_argument("--max_seq_length", type=int, default=240)
     p.add_argument("--save_interval", type=int, default=10_000)
+    p.add_argument("--frontend_dtype", choices=["float32", "bfloat16"], default="float32",
+                   help="frozen wav2vec frontend matmul dtype (bfloat16 = ~3x faster)")
     args = p.parse_args()
 
-    gcfg = GuideConfig(latent_dim=args.dim, num_layers=args.layers)
+    gcfg = GuideConfig(
+        latent_dim=args.dim, num_layers=args.layers, frontend_dtype=args.frontend_dtype
+    )
     datacfg = DataConfig(
         person=args.person, data_format="pose", batch_size=args.batch_size,
         max_seq_length=args.max_seq_length, min_seq_length=args.max_seq_length,

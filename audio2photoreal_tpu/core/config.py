@@ -69,6 +69,12 @@ class DenoiserConfig:
     postnet_receptive_field: int = 25  # pose-only causal conv stack (diffusion.py:153)
     dtype: str = "float32"  # "bfloat16" → bf16 compute, f32 params (TPU policy)
     remat: bool = False  # gradient-checkpoint the decoder stack (diffusion/nn.py:145 role)
+    # dtype of the FROZEN wav2vec conditioning frontend's conv matmuls.
+    # float32 (default) is bit-faithful to the reference (the 1e-3
+    # inference-parity target); "bfloat16" (f32 accumulation, f32 norms) is
+    # ~3x faster on the MXU and only quantizes frozen features ~0.3% rel —
+    # recommended for training.  Inference CLIs force float32 on load.
+    frontend_dtype: str = "float32"
 
     @property
     def cond_dim(self) -> int:
@@ -107,6 +113,7 @@ class GuideConfig:
     vq_depth: int = 4
     max_tokens: int = 20 * 4  # 20s @ 1fps × depth
     dtype: str = "bfloat16"
+    frontend_dtype: str = "float32"  # see DenoiserConfig.frontend_dtype
 
 
 @dataclass(frozen=True)

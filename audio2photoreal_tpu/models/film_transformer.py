@@ -54,7 +54,9 @@ class FiLMDenoiser(nn.Module):
     def setup(self):
         c = self.cfg
         D = c.latent_dim
-        self.audio_frontend = Wav2VecFeatureExtractor(name="audio_frontend")
+        self.audio_frontend = Wav2VecFeatureExtractor(
+            compute_dtype=c.frontend_dtype, name="audio_frontend"
+        )
         if c.data_format == "face":
             self.lip_model = LipRegressor(name="lip_model")
             self.cond_encoder = [

@@ -79,7 +79,9 @@ class GuideTransformer(nn.Module):
         c = self.cfg
         D = c.latent_dim
         self.token_embedding = nn.Embed(c.tokens + 1, D, name="token_embedding")
-        self.audio_frontend = Wav2VecFeatureExtractor(name="audio_frontend")
+        self.audio_frontend = Wav2VecFeatureExtractor(
+            compute_dtype=c.frontend_dtype, name="audio_frontend"
+        )
         self.pre_audio = _AudioPreNet(c.cond_feature_dim, name="pre_audio")
         self.cond_projection = nn.Dense(D, name="cond_projection")
         self.non_attn_norm = nn.LayerNorm(epsilon=1e-5, name="non_attn_norm")

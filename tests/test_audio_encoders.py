@@ -56,3 +56,26 @@ def test_audiotcn_with_wav2vec_branch():
     out = tcn.apply(p, frames)
     assert out.shape == (1, 6, 16)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_frontend_bf16_close_to_f32_same_params():
+    """The bf16 frozen-frontend fast path (frontend_dtype) must keep the
+    SAME param tree (checkpoint/converter compatibility) and stay within
+    bf16 quantization error of the exact f32 path."""
+    from audio2photoreal_tpu.models.audio_encoder import Wav2VecFeatureExtractor
+
+    rng = np.random.RandomState(0)
+    audio = jnp.asarray(rng.randn(2, 48_000, 2).astype(np.float32) * 0.1)
+    f32 = Wav2VecFeatureExtractor()
+    bf16 = Wav2VecFeatureExtractor(compute_dtype="bfloat16")
+    params = f32.init(jax.random.PRNGKey(0), audio)
+    # identical param tree: bf16 is a compute-path choice, not a model change
+    params_b = bf16.init(jax.random.PRNGKey(0), audio)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_b)
+
+    out32 = f32.apply(params, audio)
+    out16 = bf16.apply(params, audio)
+    assert out16.dtype == out32.dtype == jnp.float32
+    denom = np.abs(np.asarray(out32)).mean() + 1e-6
+    rel = np.abs(np.asarray(out16) - np.asarray(out32)).mean() / denom
+    assert rel < 2e-2, rel

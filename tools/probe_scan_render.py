@@ -54,20 +54,20 @@ def main(B=16, n_chain=8):
                 encode=False, render=True, K=K, Rt=Rt, render_display=True,
             )["rgb"]
 
-    # per-call
+    # per-call — every timed call sees UNIQUE inputs (the tunnel serves
+    # repeated identical dispatches from a result cache)
     rc = jax.jit(render)
     out = rc(params, motion)
     jax.block_until_ready(out)
+    variants = [motion + jnp.float32(1e-3 * (i + 1)) for i in range(5)]
+    jax.block_until_ready(variants)
     t0 = time.perf_counter()
-    for _ in range(5):
-        out = rc(params, motion)
-    jax.block_until_ready(out)
+    outs = [rc(params, m) for m in variants]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / 5
     print(f"per-call: {dt*1000/B:.2f} ms/frame ({B/dt:.1f} FPS)", flush=True)
 
     # scan-chained: n_chain batches inside one jit — motion varies per batch
-    motions = jnp.stack([motion + 0.01 * i for i in range(n_chain)])
-
     def chained(p, ms):
         def body(_, m):
             return None, render(p, m)
@@ -75,12 +75,14 @@ def main(B=16, n_chain=8):
         return outs
 
     cc = jax.jit(chained)
-    out = cc(params, motions)
+    mk = lambda off: jnp.stack([motion + jnp.float32(off + 0.01 * i) for i in range(n_chain)])
+    out = cc(params, mk(0.0))
     jax.block_until_ready(out)
+    stacks = [mk(1e-3 * (i + 1)) for i in range(3)]
+    jax.block_until_ready(stacks)
     t0 = time.perf_counter()
-    for _ in range(3):
-        out = cc(params, motions)
-    jax.block_until_ready(out)
+    outs = [cc(params, s) for s in stacks]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / 3 / n_chain
     print(f"scan-chained x{n_chain}: {dt*1000/B:.2f} ms/frame ({B/dt:.1f} FPS)", flush=True)
 
