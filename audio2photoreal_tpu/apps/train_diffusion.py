@@ -39,10 +39,15 @@ def train(
     dcfg: DiffusionConfig,
     datacfg: DataConfig,
     tcfg: TrainConfig,
+    cache_audio_features: bool = False,
+    platform=None,  # train.logging.TrainPlatform reporter (reference
+    # train_platforms.py strategy); None → no external reporting
 ):
     os.makedirs(save_dir, exist_ok=True)
     save_config(save_dir, denoiser=mcfg, diffusion=dcfg, data=datacfg, train=tcfg)
     logger = KVLogger(save_dir, tensorboard=True)
+    if platform is not None:
+        platform.report_args(tcfg, name="train_args")
 
     scenes = load_local_data(data_root, datacfg.person)
     stats = find_stats(os.path.join(data_root, datacfg.person))
@@ -111,16 +116,54 @@ def train(
     # assembles batch i+1 while XLA runs step i (VERDICT round-1 weak #4)
     from audio2photoreal_tpu.data.loader import make_train_iterator
 
-    batches = make_train_iterator(data_root, stats, datacfg, seed=tcfg.seed)
+    feature_cache = None
+    if cache_audio_features:
+        # precompute the FROZEN conditioning frontends once per scene
+        # (data/feature_cache.py) — drops the wav2vec conv stack (+face: lip
+        # regressor) and the raw-audio transfer out of every training step
+        from audio2photoreal_tpu.data.feature_cache import (
+            build_cache_for_index,
+            make_frontend_apply,
+            make_lip_apply,
+        )
+        from audio2photoreal_tpu.data.loader import SceneIndex
+        from audio2photoreal_tpu.models.audio_encoder import Wav2VecFeatureExtractor
+
+        fe = Wav2VecFeatureExtractor(compute_dtype=mcfg.frontend_dtype)
+        live = state.params["params"]  # post-resume (converted/frozen) weights
+        lip_apply = None
+        if mcfg.data_format == "face":
+            from audio2photoreal_tpu.models.lip_regressor import LipRegressor
+
+            lip_apply = make_lip_apply(LipRegressor(), live["lip_model"])
+        index = SceneIndex(
+            data_root, datacfg.person, "train", datacfg.num_val_seqs, datacfg.num_test_seqs
+        )
+        feature_cache = build_cache_for_index(
+            index,
+            stats.norm_audio,
+            make_frontend_apply(fe, live["audio_frontend"]),
+            lip_apply,
+        )
+
+    batches = make_train_iterator(
+        data_root, stats, datacfg, seed=tcfg.seed, feature_cache=feature_cache
+    )
     for i in range(int(state.step), tcfg.num_steps):
         batch = shard_batch(mesh, next(batches))
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)
         if i % tcfg.log_interval == 0:
-            logger.log(i, {k: float(v) for k, v in metrics.items() if np.isfinite(float(v))})
+            kv = {k: float(v) for k, v in metrics.items() if np.isfinite(float(v))}
+            logger.log(i, kv)
+            if platform is not None:
+                for k, v in kv.items():
+                    platform.report_scalar(k, v, i, group_name="train")
         if (i + 1) % tcfg.save_interval == 0:
             save_fn(state, i + 1)
     save_fn(state, tcfg.num_steps)
+    if platform is not None:
+        platform.close()
     return state
 
 
@@ -148,6 +191,16 @@ def main():
                    help="frozen wav2vec frontend matmul dtype; bfloat16 cuts its "
                         "cost ~3x (f32 accumulation, f32 norms; features deviate "
                         "~0.3%% rel from the reference — fine for training)")
+    p.add_argument("--cache_audio_features", action="store_true",
+                   help="precompute the frozen conditioning frontends once per "
+                        "scene and train on feature windows (data/feature_cache.py) "
+                        "— removes the wav2vec stack from every step; group-norm "
+                        "statistics span ~20s cache segments instead of the crop")
+    p.add_argument("--train_platform_type", default="NoPlatform",
+                   choices=["NoPlatform", "TensorboardPlatform"],
+                   help="experiment reporter strategy (reference "
+                        "train_platforms.py; external trackers subclass "
+                        "train.logging.TrainPlatform)")
     args = p.parse_args()
 
     nfeats = 104 if args.data_format == "pose" else 256
@@ -177,7 +230,11 @@ def main():
         save_interval=args.save_interval,
         seed=args.seed,
     )
-    train(args.data_root, args.save_dir, mcfg, dcfg, datacfg, tcfg)
+    from audio2photoreal_tpu.train.logging import create_platform
+
+    train(args.data_root, args.save_dir, mcfg, dcfg, datacfg, tcfg,
+          cache_audio_features=args.cache_audio_features,
+          platform=create_platform(args.train_platform_type, args.save_dir))
 
 
 if __name__ == "__main__":

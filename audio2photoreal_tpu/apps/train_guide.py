@@ -45,6 +45,7 @@ def load_tokenizer(vq_dir: str):
 def train(
     data_root: str, save_dir: str, vq_dir: str,
     gcfg: GuideConfig, datacfg: DataConfig, tcfg: TrainConfig,
+    cache_audio_features: bool = False,
 ):
     os.makedirs(save_dir, exist_ok=True)
     codec, vparams, vq, vcfg = load_tokenizer(vq_dir)
@@ -75,10 +76,32 @@ def train(
     rng = jax.random.PRNGKey(tcfg.seed)
     from audio2photoreal_tpu.data.loader import make_train_iterator
 
-    batches = make_train_iterator(data_root, stats, datacfg, seed=tcfg.seed)
+    feature_cache = None
+    if cache_audio_features:
+        from audio2photoreal_tpu.data.feature_cache import (
+            build_cache_for_index,
+            make_frontend_apply,
+        )
+        from audio2photoreal_tpu.data.loader import SceneIndex
+        from audio2photoreal_tpu.models.audio_encoder import Wav2VecFeatureExtractor
+
+        fe = Wav2VecFeatureExtractor(compute_dtype=gcfg.frontend_dtype)
+        index = SceneIndex(
+            data_root, datacfg.person, "train", datacfg.num_val_seqs, datacfg.num_test_seqs
+        )
+        feature_cache = build_cache_for_index(
+            index,
+            stats.norm_audio,
+            make_frontend_apply(fe, state.params["params"]["audio_frontend"]),
+        )
+
+    batches = make_train_iterator(
+        data_root, stats, datacfg, seed=tcfg.seed, feature_cache=feature_cache
+    )
+    keys = ("keyframes", "keyframe_valid", "audio", "audio_features")
     for i in range(tcfg.num_steps):
         b = next(batches)
-        batch = {k: jnp.asarray(v) for k, v in b.items() if k in ("keyframes", "keyframe_valid", "audio")}
+        batch = {k: jnp.asarray(v) for k, v in b.items() if k in keys}
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)
         if i % tcfg.log_interval == 0:
@@ -104,6 +127,9 @@ def main():
     p.add_argument("--save_interval", type=int, default=10_000)
     p.add_argument("--frontend_dtype", choices=["float32", "bfloat16"], default="float32",
                    help="frozen wav2vec frontend matmul dtype (bfloat16 = ~3x faster)")
+    p.add_argument("--cache_audio_features", action="store_true",
+                   help="precompute frozen wav2vec features per scene "
+                        "(data/feature_cache.py) — removes the frontend from every step")
     args = p.parse_args()
 
     gcfg = GuideConfig(
@@ -117,7 +143,8 @@ def main():
         save_dir=args.save_dir, lr=args.lr, num_steps=args.num_steps,
         save_interval=args.save_interval, grad_clip=1.0, warmup_steps=1000,
     )
-    train(args.data_root, args.save_dir, args.resume_pth, gcfg, datacfg, tcfg)
+    train(args.data_root, args.save_dir, args.resume_pth, gcfg, datacfg, tcfg,
+          cache_audio_features=args.cache_audio_features)
 
 
 if __name__ == "__main__":

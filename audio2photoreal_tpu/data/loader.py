@@ -96,11 +96,21 @@ class SceneIndex:
 class FastLoader:
     """Random-window batch sampler using native reads (pose or face)."""
 
-    def __init__(self, index: SceneIndex, stats: DataStats, cfg: DataConfig, seed: int = 0):
+    def __init__(
+        self,
+        index: SceneIndex,
+        stats: DataStats,
+        cfg: DataConfig,
+        seed: int = 0,
+        feature_cache=None,  # data/feature_cache.AudioFeatureCache — when set,
+        # batches carry "audio_features" (+ face: "lip_verts") instead of raw
+        # "audio"; crops quantize to the 3-frame cache grid
+    ):
         assert cfg.data_format in ("pose", "face")
         self.index = index
         self.stats = stats
         self.cfg = cfg
+        self.feature_cache = feature_cache
         self.rng = np.random.RandomState(seed)
         self.inv_pose = 1.0 / float(stats.pose_std + 1e-8)
         self.inv_audio = 1.0 / float(stats.audio_std + 1e-8)
@@ -136,7 +146,7 @@ class FastLoader:
             raw = _wrap_root_angle(raw)
         return ((raw - mean) * inv).astype(np.float32)
 
-    def _read_window(self, base: str, start: int, L: int):
+    def _read_window(self, base: str, start: int, L: int, with_audio: bool = True):
         cfg = self.cfg
         apf = cfg.audio_per_frame
         if cfg.data_format == "pose":
@@ -149,7 +159,9 @@ class FastLoader:
                 base + "_face_expression.npy", start, L,
                 self.stats.code_mean, self.inv_code, False,
             )
-        if HAVE_FASTDATA:
+        if not with_audio:
+            audio = None
+        elif HAVE_FASTDATA:
             abuf, ch = fastdata.read_wav_window(base + "_audio.wav", start * apf, L * apf)
             audio = np.frombuffer(
                 fastdata.normalize_rows(
@@ -172,6 +184,7 @@ class FastLoader:
 
     def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
+        cache = self.feature_cache
         Tmax = cfg.max_seq_length
         Kmax = -(-Tmax // 30)
         apf = cfg.audio_per_frame
@@ -180,8 +193,16 @@ class FastLoader:
             "motion": np.zeros((batch_size, Tmax, C), np.float32),
             "mask": np.zeros((batch_size, Tmax), np.float32),
             "lengths": np.zeros((batch_size,), np.int32),
-            "audio": np.zeros((batch_size, Tmax * apf, 2), np.float32),
         }
+        if cache is None:
+            out["audio"] = np.zeros((batch_size, Tmax * apf, 2), np.float32)
+        else:
+            from audio2photoreal_tpu.data.feature_cache import tokens_for_frames
+
+            Ta = tokens_for_frames(Tmax)
+            out["audio_features"] = np.empty((batch_size, Ta, cache.dim), np.float32)
+            if cfg.data_format == "face":
+                out["lip_verts"] = np.empty((batch_size, Tmax, 1014), np.float32)
         if cfg.data_format == "pose":
             out["keyframes"] = np.zeros((batch_size, Kmax, 104), np.float32)
             out["keyframe_valid"] = np.zeros((batch_size, Kmax), np.float32)
@@ -198,7 +219,11 @@ class FastLoader:
                     if not missing[start : start + L].all():
                         break
                     start = int(self.rng.randint(0, max(frames - L, 0) + 1))
-            motion, audio, kf = self._read_window(base, start, L)
+            if cache is not None:
+                from audio2photoreal_tpu.data.feature_cache import quantize_window
+
+                start, L = quantize_window(start, L, frames, cfg.min_seq_length)
+            motion, audio, kf = self._read_window(base, start, L, with_audio=cache is None)
             miss_w = missing[start : start + L]
             if cfg.data_format == "face":
                 # zero codes at missing frames; mask mirrors it (data.py:251-252)
@@ -208,7 +233,12 @@ class FastLoader:
                 out["mask"][b, :L] = 1.0
             out["motion"][b, :L] = motion
             out["lengths"][b] = L
-            out["audio"][b, : L * apf] = audio
+            if cache is None:
+                out["audio"][b, : L * apf] = audio
+            else:
+                out["audio_features"][b] = cache.window(si, start, L, Ta)
+                if cfg.data_format == "face":
+                    out["lip_verts"][b] = cache.lip_window(si, start, L, Tmax)
             if kf is not None:
                 out["keyframes"][b, : len(kf)] = kf
                 out["keyframe_valid"][b, : len(kf)] = 1.0
@@ -246,16 +276,23 @@ def make_train_iterator(
     cfg: DataConfig,
     seed: int = 0,
     prefetch_depth: int = 2,
+    feature_cache=None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Background-prefetched train batches — FastLoader (native windowed
     reads) when the raw scene files are indexable, else the SocialDataset
     sampler; either way the host assembles the NEXT batch while XLA runs the
-    current step (the reference's DataLoader(num_workers) role)."""
+    current step (the reference's DataLoader(num_workers) role).
+
+    ``feature_cache`` (data/feature_cache.AudioFeatureCache, built over the
+    SAME train-split SceneIndex) switches batches from raw audio to
+    precomputed frozen-frontend features."""
     try:
         index = SceneIndex(data_root, cfg.person, "train", cfg.num_val_seqs, cfg.num_test_seqs)
-        loader = FastLoader(index, stats, cfg, seed=seed)
+        loader = FastLoader(index, stats, cfg, seed=seed, feature_cache=feature_cache)
         it: Iterator = loader.batches(cfg.batch_size)
     except (FileNotFoundError, ValueError, AssertionError):
+        if feature_cache is not None:
+            raise  # the cache is index-ordered; no silent fallback
         from audio2photoreal_tpu.data.dataset import SocialDataset, load_local_data
 
         scenes = load_local_data(data_root, cfg.person)

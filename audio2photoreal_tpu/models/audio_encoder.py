@@ -120,8 +120,16 @@ class ConvFeatureExtractor(nn.Module):
 
     @nn.compact
     def __call__(
-        self, wav: jnp.ndarray, seq_ctx: Optional["SeqShardCtx"] = None
+        self,
+        wav: jnp.ndarray,
+        seq_ctx: Optional["SeqShardCtx"] = None,
+        n_valid: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:  # [B, S] → [B, T, 512]
+        """``n_valid`` (scalar or [B], sample count before zero-padding) makes
+        every group norm use masked moments over the REAL signal only — the
+        output for the first ``feature_frames(n_valid)`` frames is then
+        identical to running the extractor on the unpadded signal (the
+        feature-cache builder pads scenes to bucket lengths)."""
         cd = jnp.bfloat16 if self.compute_dtype in ("bf16", "bfloat16") else None
         x = wav[..., None]  # [B, S, 1]
         jump, rf = 1, 1
@@ -150,6 +158,11 @@ class ConvFeatureExtractor(nn.Module):
             rf = rf + (k - 1) * jump
             jump *= s
             mask = axis_name = None
+            if n_valid is not None and seq_ctx is None:
+                n_out_l = (jnp.asarray(n_valid) - rf) // jump + 1  # valid frames this layer
+                f = jnp.arange(x.shape[1])
+                mask = (f[None, :] < jnp.reshape(n_out_l, (-1, 1))).astype(jnp.float32)
+                mask = jnp.broadcast_to(mask, x.shape[:2])
             if seq_ctx is not None:
                 # ownership mask: drop halo frames recomputed by the next
                 # window and pad-induced frames beyond the global output
@@ -228,12 +241,16 @@ class Wav2VecFeatureExtractor(nn.Module):
     compute_dtype: str = "float32"  # see ConvFeatureExtractor.compute_dtype
 
     @nn.compact
-    def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, audio: jnp.ndarray, n_valid: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """``n_valid`` (48 kHz sample count before zero-padding, scalar or [B])
+        → masked group-norm moments, see ConvFeatureExtractor."""
         extractor = ConvFeatureExtractor(
             compute_dtype=self.compute_dtype, name="feature_extractor"
         )
         B = audio.shape[0]
-        chunked = B > self.batch_chunk and B % self.batch_chunk == 0
+        chunked = B > self.batch_chunk and B % self.batch_chunk == 0 and n_valid is None
 
         if chunked:
             scan = nn.scan(
@@ -244,6 +261,9 @@ class Wav2VecFeatureExtractor(nn.Module):
                 out_axes=0,
             )
 
+        n_valid_16k = None
+        if n_valid is not None:
+            n_valid_16k = jnp.asarray(n_valid) * WAV2VEC_SR // self.input_sr
         feats = []
         for ch in range(2):
             wav = resample(audio[..., ch], self.input_sr, WAV2VEC_SR)
@@ -252,7 +272,7 @@ class Wav2VecFeatureExtractor(nn.Module):
                 _, f = scan(extractor, None, chunks)
                 feats.append(f.reshape(B, *f.shape[2:]))
             else:
-                feats.append(extractor(wav))
+                feats.append(extractor(wav, n_valid=n_valid_16k))
         return jnp.concatenate(feats, axis=-1)  # [B, T_a, 1024]
 
 

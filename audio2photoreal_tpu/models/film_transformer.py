@@ -179,15 +179,34 @@ class FiLMDenoiser(nn.Module):
 
     def encode_conditioning(
         self,
-        audio: jnp.ndarray,  # [B, S, 2] raw 48 kHz stereo
+        audio: Optional[jnp.ndarray],  # [B, S, 2] raw 48 kHz stereo
         keyframes: Optional[jnp.ndarray] = None,  # [B, Tk, key_dim] (pose)
         keyframe_valid: Optional[jnp.ndarray] = None,  # [B, Tk] 1=valid
         deterministic: bool = True,
+        audio_features: Optional[jnp.ndarray] = None,  # [B, Ta, 1024] precomputed
+        lip_verts: Optional[jnp.ndarray] = None,  # [B, T, 1014] precomputed (face)
     ) -> CondTokens:
+        """``audio_features``/``lip_verts`` bypass the frozen frontends with
+        precomputed values (data/feature_cache.py) — the trainer's fast path.
+        The frontends are frozen, so this is a pure recompute-vs-reuse trade:
+        given ``audio_features == encode_audio(audio)`` the output is
+        bit-identical to the raw-audio path."""
         c = self.cfg
-        feats = self.encode_audio(audio)
+        if audio_features is not None:
+            feats = jax.lax.stop_gradient(audio_features)
+        else:
+            feats = self.encode_audio(audio)
         if c.data_format == "face":
-            lip = self.encode_lip(audio, feats.shape[1])
+            if lip_verts is not None:
+                v = jax.lax.stop_gradient(lip_verts)
+                T = v.shape[1]
+                n_cond = feats.shape[1]
+                idx = jnp.clip(
+                    ((jnp.arange(n_cond) + 0.5) * T / n_cond).astype(jnp.int32), 0, T - 1
+                )
+                lip = v[:, idx, :]
+            else:
+                lip = self.encode_lip(audio, feats.shape[1])
             feats = jnp.concatenate([feats, lip], axis=-1)
         cond_tokens = self.cond_projection(feats)
         if c.data_format == "face":
@@ -293,13 +312,22 @@ class FiLMDenoiser(nn.Module):
         self,
         x: jnp.ndarray,
         t: jnp.ndarray,
-        audio: jnp.ndarray,
+        audio: Optional[jnp.ndarray],
         keyframes: Optional[jnp.ndarray] = None,
         keyframe_valid: Optional[jnp.ndarray] = None,
         cond_drop_prob: float = 0.0,
         deterministic: bool = True,
+        audio_features: Optional[jnp.ndarray] = None,
+        lip_verts: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        cond = self.encode_conditioning(audio, keyframes, keyframe_valid, deterministic)
+        cond = self.encode_conditioning(
+            audio,
+            keyframes,
+            keyframe_valid,
+            deterministic,
+            audio_features=audio_features,
+            lip_verts=lip_verts,
+        )
         B = x.shape[0]
         if cond_drop_prob > 0.0:
             # two INDEPENDENT draws, matching the reference's separate

@@ -107,11 +107,15 @@ class GuideTransformer(nn.Module):
 
     def encode_conditioning(
         self,
-        audio: jnp.ndarray,  # [B, S, 2] raw 48 kHz
+        audio: Optional[jnp.ndarray],  # [B, S, 2] raw 48 kHz
         keep_mask: Optional[jnp.ndarray] = None,  # [B] bool CFG keep
         deterministic: bool = True,
+        audio_features: Optional[jnp.ndarray] = None,  # [B, Ta, 1024] precomputed
     ) -> GuideCond:
-        feats = jax.lax.stop_gradient(self.audio_frontend(audio))
+        if audio_features is not None:
+            feats = jax.lax.stop_gradient(audio_features)
+        else:
+            feats = jax.lax.stop_gradient(self.audio_frontend(audio))
         cond = self.pre_audio(feats, deterministic=deterministic)
         cond = self.cond_projection(cond)
         if keep_mask is not None:
@@ -148,9 +152,10 @@ class GuideTransformer(nn.Module):
     def __call__(
         self,
         tokens: jnp.ndarray,
-        audio: jnp.ndarray,
+        audio: Optional[jnp.ndarray],
         cond_drop_prob: float = 0.0,
         deterministic: bool = True,
+        audio_features: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Teacher-forced training forward → [B, L, tokens] logits."""
         B = tokens.shape[0]
@@ -158,7 +163,7 @@ class GuideTransformer(nn.Module):
             keep = ~jax.random.bernoulli(self.make_rng("cond_drop"), cond_drop_prob, (B,))
         else:
             keep = jnp.ones((B,), bool)
-        cond = self.encode_conditioning(audio, keep, deterministic)
+        cond = self.encode_conditioning(audio, keep, deterministic, audio_features=audio_features)
         return self.decode_logits(tokens, cond, deterministic)
 
     # -------------------------------------------------------------- #

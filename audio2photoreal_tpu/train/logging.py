@@ -123,3 +123,17 @@ class TensorboardPlatform(TrainPlatform):
 
     def close(self) -> None:
         self._logger.close()
+
+
+def create_platform(name: str, save_dir: Optional[str]) -> TrainPlatform:
+    """``--train_platform_type`` factory (reference
+    utils/diff_parser_utils.py:182-187 + train_platforms.py).  The reference's
+    ClearmlPlatform is a proprietary SaaS client; external trackers plug in by
+    subclassing TrainPlatform and registering here."""
+    platforms = {
+        "NoPlatform": lambda: NoPlatform(save_dir),
+        "TensorboardPlatform": lambda: TensorboardPlatform(save_dir),
+    }
+    if name not in platforms:
+        raise ValueError(f"unknown train platform {name!r}; options: {sorted(platforms)}")
+    return platforms[name]()

@@ -53,12 +53,15 @@ def make_diffusion_train_step(
                 params,
                 xt,
                 t,
-                batch["audio"],
+                batch.get("audio"),
                 batch.get("keyframes"),
                 batch.get("keyframe_valid"),
                 cond_drop_prob=dcfg.cond_drop_prob,
                 deterministic=False,
                 rngs={"cond_drop": k_drop, "dropout": k_dropout},
+                # precomputed frozen-frontend conditioning (data/feature_cache)
+                audio_features=batch.get("audio_features"),
+                lip_verts=batch.get("lip_verts"),
             )
             terms = losses.training_losses(
                 schedule,
@@ -182,10 +185,11 @@ def make_guide_train_step(
             logits = model.apply(
                 params,
                 inputs,
-                batch["audio"],
+                batch.get("audio"),
                 cond_drop_prob=cond_drop_prob,
                 deterministic=False,
                 rngs={"cond_drop": k_drop, "dropout": k_dropout},
+                audio_features=batch.get("audio_features"),
             )
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]

@@ -96,9 +96,16 @@ def test_train_platform_strategy(tmp_path):
     """TrainPlatform strategy surface (reference train_platforms.py:10-56)."""
     from dataclasses import dataclass
 
-    from audio2photoreal_tpu.train.logging import NoPlatform, TensorboardPlatform
+    from audio2photoreal_tpu.train.logging import (
+        NoPlatform,
+        TensorboardPlatform,
+        create_platform,
+    )
 
     NoPlatform().report_scalar("x", 1.0, 0)  # no-op by contract
+    assert isinstance(create_platform("NoPlatform", None), NoPlatform)
+    with pytest.raises(ValueError):
+        create_platform("ClearmlPlatform", None)
 
     tp = TensorboardPlatform(str(tmp_path))
     tp.report_scalar("loss", 0.5, iteration=3, group_name="train")
