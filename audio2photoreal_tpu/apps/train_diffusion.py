@@ -186,7 +186,10 @@ def main():
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
                    help="denoiser compute dtype (bfloat16 recommended on TPU)")
     p.add_argument("--remat", action="store_true",
-                   help="gradient-checkpoint decoder layers (needed for bs64x600 on 16G HBM)")
+                   help="gradient-checkpoint decoder layers (needed for bs64x600 on "
+                        "16G HBM when training on RAW audio; with "
+                        "--cache_audio_features the frontend leaves the graph and "
+                        "no-remat fits AND is ~25%% faster — leave this off)")
     p.add_argument("--frontend_dtype", choices=["float32", "bfloat16"], default="float32",
                    help="frozen wav2vec frontend matmul dtype; bfloat16 cuts its "
                         "cost ~3x (f32 accumulation, f32 norms; features deviate "

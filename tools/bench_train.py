@@ -24,11 +24,13 @@ from audio2photoreal_tpu.train.loops import make_diffusion_train_step
 from audio2photoreal_tpu.train.state import create_train_state
 
 
-def main(B=64, T=600, n_steps=10, cached_features=False):
+def main(B=64, T=600, n_steps=10, cached_features=False, remat=True):
     cfg = DenoiserConfig(
         data_format="pose", nfeats=104, latent_dim=256, ff_size=1024,
         num_layers=8, num_heads=4, max_seq_length=T, dtype="bfloat16",
-        remat=True,  # bs64×600 frames needs rematerialization on 16G HBM
+        remat=remat,  # raw-audio path at bs64×600 needs remat on 16G HBM;
+        # with cached features the frontend leaves the graph and remat=False
+        # fits — and skips the whole forward recompute in the backward
         # frozen frontend in bf16 (f32 accumulation): the f32 frontend is
         # 364 ms of the 1063 ms step (probe_train_stages) at ~7% MFU
         frontend_dtype="bfloat16",
@@ -85,6 +87,8 @@ def main(B=64, T=600, n_steps=10, cached_features=False):
     metric = "train_steps_per_sec_pose_bs64_T600"
     if cached_features:
         metric += "_cached_features"
+    if not remat:
+        metric += "_noremat"
     result = {
         "metric": metric, "value": round(1 / dt, 3),
         "unit": "steps_per_sec", "vs_baseline": round((1 / dt) * 3600 * 24 / 800_000, 2),
@@ -96,4 +100,7 @@ def main(B=64, T=600, n_steps=10, cached_features=False):
 
 
 if __name__ == "__main__":
-    main(cached_features="--cache_audio_features" in sys.argv)
+    main(
+        cached_features="--cache_audio_features" in sys.argv,
+        remat="--no_remat" not in sys.argv,
+    )
