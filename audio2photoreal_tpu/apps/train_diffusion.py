@@ -65,12 +65,16 @@ def train(
     model = FiLMDenoiser(mcfg)
     sched = make_schedule(dcfg.schedule, dcfg.steps)
 
-    rng = jax.random.PRNGKey(tcfg.seed)
+    from audio2photoreal_tpu.core import rng as rng_util
+
+    # step rng on the fast bit generator; param init stays threefry so the
+    # init draw is independent of the rng_impl choice
+    rng = rng_util.key(tcfg.seed, tcfg.rng_impl)
     batch0 = ds.sample_batch(np.random.RandomState(0), datacfg.batch_size)
     import jax.numpy as jnp
 
     params = model.init(
-        {"params": rng, "cond_drop": jax.random.PRNGKey(1)},
+        {"params": jax.random.PRNGKey(tcfg.seed), "cond_drop": jax.random.PRNGKey(1)},
         jnp.asarray(batch0["motion"]),
         jnp.zeros((datacfg.batch_size,), jnp.int32),
         jnp.asarray(batch0["audio"]),
@@ -151,8 +155,9 @@ def train(
     )
     for i in range(int(state.step), tcfg.num_steps):
         batch = shard_batch(mesh, next(batches))
-        rng, sub = jax.random.split(rng)
-        state, metrics = step_fn(state, batch, sub)
+        # ONE base key for the run; the jitted step folds state.step in —
+        # an eager per-step split serializes the loop through the tunnel
+        state, metrics = step_fn(state, batch, rng)
         if i % tcfg.log_interval == 0:
             kv = {k: float(v) for k, v in metrics.items() if np.isfinite(float(v))}
             logger.log(i, kv)
@@ -183,6 +188,9 @@ def main():
     p.add_argument("--max_seq_length", type=int, default=600)
     p.add_argument("--save_interval", type=int, default=5000)
     p.add_argument("--seed", type=int, default=10)
+    p.add_argument("--rng_impl", choices=["rbg", "threefry"], default="rbg",
+                   help="step-rng bit generator; rbg (XLA RngBitGenerator) cuts the\n"
+                        "bs-64 step 510 -> 385 ms (dropout draws; core/rng.py)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
                    help="denoiser compute dtype (bfloat16 recommended on TPU)")
     p.add_argument("--remat", action="store_true",
@@ -232,6 +240,7 @@ def main():
         num_steps=args.num_steps,
         save_interval=args.save_interval,
         seed=args.seed,
+        rng_impl=args.rng_impl,
     )
     from audio2photoreal_tpu.train.logging import create_platform
 

@@ -73,7 +73,9 @@ def train(
 
     step_fn = jax.jit(make_guide_train_step(model, tokenize, vcfg.depth))
     ckpt_dir = os.path.join(save_dir, "ckpt")
-    rng = jax.random.PRNGKey(tcfg.seed)
+    from audio2photoreal_tpu.core import rng as rng_util
+
+    rng = rng_util.key(tcfg.seed, tcfg.rng_impl)
     from audio2photoreal_tpu.data.loader import make_train_iterator
 
     feature_cache = None
@@ -102,8 +104,7 @@ def train(
     for i in range(tcfg.num_steps):
         b = next(batches)
         batch = {k: jnp.asarray(v) for k, v in b.items() if k in keys}
-        rng, sub = jax.random.split(rng)
-        state, metrics = step_fn(state, batch, sub)
+        state, metrics = step_fn(state, batch, rng)  # step folds state.step
         if i % tcfg.log_interval == 0:
             logger.log(i, {k: float(v) for k, v in metrics.items()})
         if (i + 1) % tcfg.save_interval == 0:
@@ -125,6 +126,7 @@ def main():
     p.add_argument("--dim", type=int, default=512)
     p.add_argument("--max_seq_length", type=int, default=240)
     p.add_argument("--save_interval", type=int, default=10_000)
+    p.add_argument("--rng_impl", choices=["rbg", "threefry"], default="rbg")
     p.add_argument("--frontend_dtype", choices=["float32", "bfloat16"], default="float32",
                    help="frozen wav2vec frontend matmul dtype (bfloat16 = ~3x faster)")
     p.add_argument("--cache_audio_features", action="store_true",
@@ -142,6 +144,7 @@ def main():
     tcfg = TrainConfig(
         save_dir=args.save_dir, lr=args.lr, num_steps=args.num_steps,
         save_interval=args.save_interval, grad_clip=1.0, warmup_steps=1000,
+        rng_impl=args.rng_impl,
     )
     train(args.data_root, args.save_dir, args.resume_pth, gcfg, datacfg, tcfg,
           cache_audio_features=args.cache_audio_features)

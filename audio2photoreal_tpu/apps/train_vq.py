@@ -57,15 +57,16 @@ def train(data_root: str, save_dir: str, vcfg: VQConfig, datacfg: DataConfig, tc
     step_fn = jax.jit(make_vq_train_step(model, vcfg.commit_weight))
 
     ckpt_dir = os.path.join(save_dir, "ckpt")
-    rng = jax.random.PRNGKey(tcfg.seed)
+    from audio2photoreal_tpu.core import rng as rng_util
+
+    rng = rng_util.key(tcfg.seed, tcfg.rng_impl)
     best = float("inf")
     from audio2photoreal_tpu.data.loader import make_train_iterator
 
     batches = make_train_iterator(data_root, stats, datacfg, seed=tcfg.seed)
     for i in range(tcfg.num_steps):
         batch = {"keyframes": jnp.asarray(next(batches)["keyframes"])}
-        rng, sub = jax.random.split(rng)
-        state, vq, metrics = step_fn(state, vq, batch, sub)
+        state, vq, metrics = step_fn(state, vq, batch, rng)  # step folds state.step
         if i % tcfg.log_interval == 0:
             logger.log(i, {k: float(v) for k, v in metrics.items()})
         if (i + 1) % tcfg.save_interval == 0:
@@ -98,6 +99,7 @@ def main():
     p.add_argument("--output_emb_width", type=int, default=64)
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--save_interval", type=int, default=10_000)
+    p.add_argument("--rng_impl", choices=["rbg", "threefry"], default="rbg")
     args = p.parse_args()
 
     vcfg = VQConfig(
@@ -106,7 +108,7 @@ def main():
     datacfg = DataConfig(person=args.person, data_format="pose", batch_size=args.batch_size)
     tcfg = TrainConfig(
         save_dir=args.save_dir, lr=args.lr, num_steps=args.total_iter,
-        save_interval=args.save_interval, warmup_steps=1000,
+        save_interval=args.save_interval, warmup_steps=1000, rng_impl=args.rng_impl,
     )
     train(args.data_root, args.save_dir, vcfg, datacfg, tcfg)
 

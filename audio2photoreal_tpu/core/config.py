@@ -143,6 +143,10 @@ class TrainConfig:
     save_interval: int = 5000
     log_interval: int = 100
     seed: int = 10
+    # step-rng bit generator: "rbg" = XLA RngBitGenerator (TPU-accelerated;
+    # the bs-64 step's ~3.6B dropout draws cost 125 ms under threefry —
+    # core/rng.py); "threefry" = JAX default, kept for bit-reproducibility
+    rng_impl: str = "rbg"
     grad_clip: float = 0.0
     ema_decay: float = 0.0  # 0 disables
     # parallelism: -1 = all remaining devices on that axis

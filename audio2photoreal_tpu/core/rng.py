@@ -11,8 +11,17 @@ from typing import Dict, Iterator, Sequence
 import jax
 
 
-def key(seed: int) -> jax.Array:
-    return jax.random.PRNGKey(seed)
+def key(seed: int, impl: str = "threefry") -> jax.Array:
+    """``impl="rbg"`` uses the XLA RngBitGenerator (hardware-accelerated on
+    TPU).  The bs-64 train step draws ~3.6B dropout bits (attention-prob
+    dropout over [B, H, 600, ~2000] × 8 layers); threefry computes them on
+    the VPU at ~125 ms/step — rbg cuts the measured step 510 → 385 ms
+    (tools/probe_noremat_step.py).  Same dropout semantics, different (still
+    deterministic) bitstream; threefry stays the default for golden-value
+    reproducibility in tests."""
+    if impl == "threefry":
+        return jax.random.PRNGKey(seed)
+    return jax.random.key(seed, impl=impl)
 
 
 def split_named(k: jax.Array, names: Sequence[str]) -> Dict[str, jax.Array]:

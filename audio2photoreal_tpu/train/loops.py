@@ -40,6 +40,11 @@ def make_diffusion_train_step(
     gaussian_diffusion.py:1195-1271)."""
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        # fold the step counter in HERE, inside the compiled step: an eager
+        # per-step split in the host loop is its own tiny device execution,
+        # which serializes the loop through the device tunnel (3x slowdown
+        # measured) — trainers pass one base key for the whole run
+        rng = jax.random.fold_in(rng, state.step)
         k_t, k_noise, k_drop, k_dropout = jax.random.split(rng, 4)
         x0 = batch["motion"]
         B = x0.shape[0]
@@ -128,6 +133,7 @@ def make_vq_train_step(model, commit_weight: float = 0.02, lambda_vel: float = 1
     def step(
         state: TrainState, vq: VQState, batch: Dict[str, jnp.ndarray], rng: jax.Array
     ):
+        rng = jax.random.fold_in(rng, state.step)  # see diffusion step
         motion = batch["keyframes"]  # [B, K, nfeats] — 1 fps downsampled
 
         def loss_fn(params):
@@ -172,6 +178,7 @@ def make_guide_train_step(
     label smoothing.  ``tokenize`` is a closed-over frozen-codec apply."""
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)  # see diffusion step
         k_drop, k_dropout = jax.random.split(rng)
         keyframes = batch["keyframes"]
         B = keyframes.shape[0]

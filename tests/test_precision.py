@@ -88,3 +88,36 @@ def test_nonfinite_grad_skips_update():
     ok_state, m2 = step(state, batch, jax.random.PRNGKey(1))
     assert float(m2["skipped_nonfinite"]) == 0.0
     assert int(ok_state.step) == int(state.step) + 1
+
+
+def test_step_folds_rng_with_counter():
+    """The jitted step derives its rng via fold_in(rng, state.step) so
+    trainers can pass ONE base key for the whole run (an eager per-step
+    split in the host loop serializes through the device tunnel).  Same
+    base key at different step counters must give different draws."""
+    model, params, batch = _setup("float32")
+    sched = make_schedule("cosine", 100)
+    state0 = create_train_state(params, TrainConfig(lr=1e-4))
+    step = jax.jit(make_diffusion_train_step(model, sched, DiffusionConfig()))
+    key = jax.random.PRNGKey(7)
+    # identical state+key → identical result (determinism)
+    _, ma = step(state0, batch, key)
+    _, mb = step(state0, batch, key)
+    assert float(ma["loss"]) == float(mb["loss"])
+    # same key, bumped step counter → different t/noise draws
+    state1 = state0.replace(step=state0.step + 1)
+    _, mc = step(state1, batch, key)
+    assert float(mc["loss"]) != float(ma["loss"])
+
+
+def test_step_accepts_rbg_keys():
+    """TrainConfig.rng_impl="rbg" routes dropout through the XLA
+    RngBitGenerator; the step must accept typed rbg keys."""
+    from audio2photoreal_tpu.core import rng as rng_util
+
+    model, params, batch = _setup("float32")
+    sched = make_schedule("cosine", 100)
+    state = create_train_state(params, TrainConfig(lr=1e-4))
+    step = jax.jit(make_diffusion_train_step(model, sched, DiffusionConfig()))
+    state, m = step(state, batch, rng_util.key(0, "rbg"))
+    assert np.isfinite(float(m["loss"]))

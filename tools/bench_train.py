@@ -65,17 +65,25 @@ def main(B=64, T=600, n_steps=10, cached_features=False, remat=True):
     state = create_train_state(params, TrainConfig(lr=1e-4))
     step = jax.jit(make_diffusion_train_step(model, make_schedule("cosine", 1000), DiffusionConfig()))
     print("compile train step", file=sys.stderr, flush=True)
-    state, m = step(state, batch, jax.random.PRNGKey(2))
+    # rbg step keys — the trainers' default (TrainConfig.rng_impl): threefry
+    # spends ~125 ms/step computing the ~3.6B dropout draws on the VPU
+    from audio2photoreal_tpu.core import rng as rng_util
+
+    key0 = rng_util.key(2, "rbg")
+    # ONE base key: the step folds state.step in internally (train/loops.py).
+    # An eager per-step fold_in/split is its own tiny device execution, and
+    # through the device tunnel that serializes the loop (2.6 -> 0.67 steps/s)
+    state, m = step(state, batch, key0)
     jax.block_until_ready(state.params)
     t0 = time.perf_counter()
     for i in range(n_steps):
-        state, m = step(state, batch, jax.random.PRNGKey(3 + i))
+        state, m = step(state, batch, key0)
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / n_steps
     # achieved FLOPs/s vs v5e bf16 peak (197 TFLOP/s) — best effort
     mfu = None
     try:
-        ca = step.lower(state, batch, jax.random.PRNGKey(2)).compile().cost_analysis()
+        ca = step.lower(state, batch, key0).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
