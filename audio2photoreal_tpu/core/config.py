@@ -69,6 +69,11 @@ class DenoiserConfig:
     postnet_receptive_field: int = 25  # pose-only causal conv stack (diffusion.py:153)
     dtype: str = "float32"  # "bfloat16" → bf16 compute, f32 params (TPU policy)
     remat: bool = False  # gradient-checkpoint the decoder stack (diffusion/nn.py:145 role)
+    # Pallas memory-efficient attention (ops/pallas/flash.py) for the decoder
+    # stack's un-biased self/cross attention, incl. in-kernel replayable
+    # attention-prob dropout in training.  Numerics: bf16-rounding-level vs
+    # the einsum path.  Off by default for torch-checkpoint bit-parity runs.
+    flash_attention: bool = False
     # dtype of the FROZEN wav2vec conditioning frontend's conv matmuls.
     # float32 (default) is bit-faithful to the reference (the 1e-3
     # inference-parity target); "bfloat16" (f32 accumulation, f32 norms) is

@@ -63,12 +63,21 @@ class MultiHeadAttention(nn.Module):
     packed-head projections convertible from in_proj_weight).
 
     Extra cached-decode surface: ``project_kv`` produces projected K/V for
-    caching; ``attend`` runs attention given already-projected K/V."""
+    caching; ``attend`` runs attention given already-projected K/V.
+
+    ``flash=True`` routes un-biased attention through the Pallas
+    memory-efficient kernel (ops/pallas/flash.py) — probs (and their dropout
+    masks) never hit HBM in either pass.  Engages only when bias is None and
+    both sequence axes reach ``_FLASH_MIN_LEN`` (below that the einsum path
+    is at least as fast); numerics match to bf16 rounding."""
 
     dim: int
     heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    flash: bool = False
+
+    _FLASH_MIN_LEN = 128
 
     def setup(self):
         self.q_proj = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")
@@ -94,10 +103,28 @@ class MultiHeadAttention(nn.Module):
         B, Tq, _ = q_in.shape
         q = self.q_proj(q_in)
         rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
-        out = dot_product_attention(
-            self._split(q), self._split(k), self._split(v), bias,
-            dropout_rate=self.dropout, dropout_rng=rng, deterministic=deterministic,
+        use_flash = (
+            self.flash
+            and bias is None
+            and Tq >= self._FLASH_MIN_LEN
+            and k.shape[1] >= self._FLASH_MIN_LEN
         )
+        if use_flash:
+            from audio2photoreal_tpu.ops.pallas.flash import flash_attention
+
+            rate, seed = 0.0, None
+            if rng is not None:
+                rate = self.dropout
+                seed = jax.random.randint(rng, (1,), 0, jnp.iinfo(jnp.int32).max)
+            out = flash_attention(
+                self._split(q), self._split(k), self._split(v),
+                dropout_seed=seed, dropout_rate=rate,
+            )
+        else:
+            out = dot_product_attention(
+                self._split(q), self._split(k), self._split(v), bias,
+                dropout_rate=self.dropout, dropout_rng=rng, deterministic=deterministic,
+            )
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, self.dim)
         return self.out_proj(out)
 
@@ -143,11 +170,16 @@ class FiLMDecoderLayer(nn.Module):
     dropout: float = 0.1
     use_cm: bool = False  # second cross-attention memory (pose keyframes)
     dtype: jnp.dtype = jnp.float32
+    flash: bool = False  # Pallas attention for the un-biased self/cross paths
 
     def setup(self):
         D, H = self.dim, self.heads
-        self.self_attn = MultiHeadAttention(D, H, self.dropout, self.dtype, name="self_attn")
-        self.cross_attn = MultiHeadAttention(D, H, self.dropout, self.dtype, name="cross_attn")
+        self.self_attn = MultiHeadAttention(
+            D, H, self.dropout, self.dtype, self.flash, name="self_attn"
+        )
+        self.cross_attn = MultiHeadAttention(
+            D, H, self.dropout, self.dtype, self.flash, name="cross_attn"
+        )
         self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)
         self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)
         self.norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3", dtype=self.dtype)
@@ -253,6 +285,7 @@ class RotaryEncoderLayer(nn.Module):
     ff_size: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    flash: bool = False
 
     @nn.compact
     def __call__(
@@ -265,7 +298,8 @@ class RotaryEncoderLayer(nn.Module):
     ) -> jnp.ndarray:
         h = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x)
         qk = _maybe_rotate(h, rotary)
-        h = MultiHeadAttention(self.dim, self.heads, self.dropout, self.dtype, name="self_attn")(
+        h = MultiHeadAttention(self.dim, self.heads, self.dropout, self.dtype,
+                               self.flash, name="self_attn")(
             qk, qk, h, bias, deterministic
         )
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)

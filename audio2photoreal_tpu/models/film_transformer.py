@@ -60,7 +60,8 @@ class FiLMDenoiser(nn.Module):
         if c.data_format == "face":
             self.lip_model = LipRegressor(name="lip_model")
             self.cond_encoder = [
-                RotaryEncoderLayer(D, c.num_heads, c.ff_size, c.dropout, name=f"cond_encoder_{i}")
+                RotaryEncoderLayer(D, c.num_heads, c.ff_size, c.dropout,
+                                   flash=c.flash_attention, name=f"cond_encoder_{i}")
                 for i in range(c.cond_encoder_layers)
             ]
         self.input_projection = nn.Dense(D, name="input_projection")
@@ -128,6 +129,7 @@ class FiLMDenoiser(nn.Module):
                 c.dropout,
                 use_cm=(c.data_format == "pose"),
                 dtype=compute_dtype,
+                flash=c.flash_attention,
                 name=f"decoder_{i}",
             )
             for i in range(c.num_layers)

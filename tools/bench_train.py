@@ -24,11 +24,13 @@ from audio2photoreal_tpu.train.loops import make_diffusion_train_step
 from audio2photoreal_tpu.train.state import create_train_state
 
 
-def main(B=64, T=600, n_steps=10, cached_features=False, remat=True):
+def main(B=64, T=600, n_steps=10, cached_features=False, remat=True, flash=False):
     cfg = DenoiserConfig(
         data_format="pose", nfeats=104, latent_dim=256, ff_size=1024,
         num_layers=8, num_heads=4, max_seq_length=T, dtype="bfloat16",
-        remat=remat,  # raw-audio path at bs64×600 needs remat on 16G HBM;
+        remat=remat,
+        # Pallas attention incl. in-kernel dropout (ops/pallas/flash.py)
+        flash_attention=flash,  # raw-audio path at bs64×600 needs remat on 16G HBM;
         # with cached features the frontend leaves the graph and remat=False
         # fits — and skips the whole forward recompute in the backward
         # frozen frontend in bf16 (f32 accumulation): the f32 frontend is
@@ -97,6 +99,8 @@ def main(B=64, T=600, n_steps=10, cached_features=False, remat=True):
         metric += "_cached_features"
     if not remat:
         metric += "_noremat"
+    if flash:
+        metric += "_flash"
     result = {
         "metric": metric, "value": round(1 / dt, 3),
         "unit": "steps_per_sec", "vs_baseline": round((1 / dt) * 3600 * 24 / 800_000, 2),
@@ -111,4 +115,5 @@ if __name__ == "__main__":
     main(
         cached_features="--cache_audio_features" in sys.argv,
         remat="--no_remat" not in sys.argv,
+        flash="--flash" in sys.argv,
     )
