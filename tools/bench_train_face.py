@@ -4,8 +4,11 @@ The face model (nfeats 256, latent 512, reference utils/model_util.py:49-55)
 adds a 2-layer rotary pre-encoder whose SELF-attention runs over the ~2000
 audio cond tokens — with einsum attention that materialises
 [B, H, ~2000, ~2000] f32 logits (~4 GB/layer at bs 64), so the Pallas
-attention kernel is load-bearing here, not just faster.  Cached-features
-operating point (audio features + lip verts precomputed per scene).
+attention kernel is load-bearing here, not just faster: measured,
+``--no_flash`` at this operating point OOMs 16G HBM by 6.7 GB (22.41G
+needed), flash runs it at 1.86 steps/s (a 155k-step face schedule,
+README.md:219, in under a day on one chip).  Cached-features operating
+point (audio features + lip verts precomputed per scene).
 """
 
 import json
