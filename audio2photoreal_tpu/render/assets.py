@@ -267,6 +267,8 @@ def convert_static_assets(
     """
     import torch
 
+    import torch.nn.functional as tF
+
     cfg = cfg or RendererConfig()
     a = torch.load(static_assets_path, map_location="cpu", weights_only=False)
 
@@ -276,6 +278,7 @@ def convert_static_assets(
     geo = GeometryModule.create(
         np_(a["topology"]["vi"]), np_(a["topology"]["vt"]), np_(a["topology"]["vti"]),
         cfg.uv_size, impaint=True,
+        v2uv=np_(a["topology"]["v2uv"]) if "v2uv" in a["topology"] else None,
     )
     skel_json = a["lbs_model_json"]
     lbs_cfg = a["lbs_config_dict"]
@@ -300,14 +303,29 @@ def convert_static_assets(
         skin_weights[valid, k] = weights[left[valid]]
         skin_indices[valid, k] = indices[left[valid]]
 
+    # the reference concatenates the per-person (constant) scale params onto
+    # every pose before the channel transform (lbs.py:152-158,809-813); with
+    # 104-d motion the scale columns fold into the offsets:
+    #   transform @ [pose; scale] + off == transform[:, :104] @ pose
+    #                                      + (off + transform[:, 104:] @ scale)
+    transform = np_(lbs_cfg["transform"]).astype(np.float64)
+    offsets = np_(lbs_cfg["transform_offsets"]).reshape(-1).astype(np.float64)
+    bind_offsets = offsets.astype(np.float32)  # bind pose: zero scale (lbs.py:112-115)
+    n_pose = 104
+    if transform.shape[1] > n_pose:
+        scale = np_(a.get("lbs_scale", np.zeros(transform.shape[1] - n_pose))).reshape(-1)
+        offsets = offsets + transform[:, n_pose:] @ scale.astype(np.float64)
+        transform = transform[:, :n_pose]
+
     lbs = LBSModule.create(
         skel,
-        np_(lbs_cfg["transform"]),
-        np_(lbs_cfg["transform_offsets"]).reshape(-1),
+        transform.astype(np.float32),
+        offsets.astype(np.float32),
         skin_indices,
         skin_weights,
         np_(a["lbs_template_verts"]),
         global_scaling=float(np.asarray(a.get("global_scaling", [1.0])).reshape(-1)[0]),
+        bind_offsets=bind_offsets,
     )
 
     seam_from = seam_sampler_from_reference
@@ -323,18 +341,64 @@ def convert_static_assets(
         x = np_(x).squeeze()
         return jnp.asarray(x[..., None], jnp.float32)
 
+    def _gaussian_blur11(x: "torch.Tensor") -> "torch.Tensor":
+        """torchvision.transforms.functional.gaussian_blur(kernel_size=11)
+        equivalent: sigma = 0.3·((k−1)/2 − 1) + 0.8 = 2.0, reflect padding,
+        separable conv (the reference blurs tex_mean with it,
+        mesh_vae_drivable.py:113)."""
+        k, sigma = 11, 2.0
+        coords = torch.arange(k, dtype=torch.float32) - (k - 1) / 2
+        g = torch.exp(-(coords**2) / (2 * sigma**2))
+        g = g / g.sum()
+        C = x.shape[1]
+        pad = k // 2
+        xp = tF.pad(x, (pad, pad, pad, pad), mode="reflect")
+        out = tF.conv2d(xp, g.view(1, 1, 1, k).expand(C, 1, 1, k), groups=C)
+        out = tF.conv2d(out, g.view(1, 1, k, 1).expand(C, 1, k, 1), groups=C)
+        return out
+
+    # tex_mean: blur(k=11) then bilinear-resize to the upscale size
+    # (mesh_vae_drivable.py:112-114)
+    tex_mean_t = torch.as_tensor(np_(a["tex_mean"]), dtype=torch.float32)[None]
+    tex_mean_t = _gaussian_blur11(tex_mean_t)
+    tex_mean_t = tF.interpolate(
+        tex_mean_t, (cfg.upscale_size, cfg.upscale_size), mode="bilinear"
+    )[0]
+
+    # encoder mask: bilinear to the encoder input size then BOOL cast — any
+    # nonzero interpolated texel participates (mesh_vae_drivable.py:396-398)
+    Senc = cfg.encoder_in_size
+    non_head_t = torch.as_tensor(
+        1.0 - np_(a["face_mask"]), dtype=torch.float32
+    )[None, None]
+    non_head_t = (tF.interpolate(non_head_t, (Senc, Senc), mode="bilinear") != 0).float()
+
+    # face-encoder tex mask: bilinear, align_corners=True, kept float
+    # (mesh_vae_drivable.py:662-667)
+    mugsy_t = torch.as_tensor(
+        np_(a["mugsy_face_mask"])[..., 0], dtype=torch.float32
+    )[None, None]
+    mugsy_t = tF.interpolate(mugsy_t, (Senc, Senc), mode="bilinear", align_corners=True)
+
+    # ao_mean: nearest resize to the shadow size (ShadowUNet.__init__,
+    # nn/shadow.py:44-47 — F.interpolate default mode)
+    ao_t = torch.as_tensor(np_(a["ao_mean"]), dtype=torch.float32).reshape(
+        1, 1, *np_(a["ao_mean"]).squeeze().shape
+    )
+    ao_t = tF.interpolate(ao_t, (cfg.shadow_size, cfg.shadow_size))
+
     return RendererAssets(
         geo=geo,
         lbs=lbs,
         seam=seam_from(a["seam_data_1024"], cfg.uv_size),
         seam_2k=seam_from(a["seam_data_2048"], cfg.upscale_size),
-        tex_mean=jnp.asarray(np_(a["tex_mean"]).transpose(1, 2, 0), jnp.float32),
+        tex_mean=jnp.asarray(tex_mean_t.numpy().transpose(1, 2, 0), jnp.float32),
         tex_std=float(a.get("tex_var", 64.0)),
-        ao_mean=hw1(a["ao_mean"]),
+        ao_mean=jnp.asarray(ao_t[0, 0].numpy()[..., None], jnp.float32),
         face_cond_mask=hw1(a["face_cond_mask"]),
         pose_cond_mask=jnp.asarray(pose_cond, jnp.int32),
         body_cond_mask=hw1(a["body_cond_mask"]),
-        non_head_mask=hw1(1.0 - np_(a["face_mask"])),
-        face_tex_mask=hw1(np_(a["mugsy_face_mask"])[..., 0]),
+        non_head_mask=jnp.asarray(non_head_t[0, 0].numpy()[..., None], jnp.float32),
+        face_tex_mask=jnp.asarray(mugsy_t[0, 0].numpy()[..., None], jnp.float32),
         frontal_view=jnp.asarray(np_(a["face_frontal_view"]), jnp.float32).reshape(-1)[:3],
     )

@@ -135,20 +135,26 @@ class UpConvBlockDeep(nn.Module):
 
 
 class UpscaleNet(nn.Module):
-    """1024 → 2048 pixel-shuffle residual upscaler
-    (mesh_vae_drivable.py:740-770 + blocks.py:757-786)."""
+    """1024 → 2048 pixel-shuffle residual upscaler.
+
+    The reference carries TWO UpscaleNet definitions: the avatar model uses
+    its own (ONE 3×3 conv + 1×1 out block, mesh_vae_drivable.py:740-770 —
+    this is what body_dec.ckpt contains; default ``n_convs=1``), while
+    nn/blocks.py:757-786 has a two-conv variant nothing in the shipped
+    inference path instantiates (``n_convs=2`` kept for completeness)."""
 
     out_channels: int = 3
     n_ftrs: int = 16
     size: int = 1024
     upscale_factor: int = 2
+    n_convs: int = 1
     # see UpConvBlockDeep.s2d_level: level 2 wins in isolation, loses in the
     # full forward_tex (9.4 → 11.6 ms/frame) — opt-in only, default 1
     s2d_level: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # two 3×3 convs (reference blocks.py:761-766), then the 1×1 out block.
+        # 3×3 conv(s), then the 1×1 out block.
         # ≤16-channel convs at 1024² are lane-bound — run them in s2d coords
         s2d = 0
         if self.size >= 256 and x.shape[-1] <= 32 and self.n_ftrs <= 32:
@@ -158,10 +164,12 @@ class UpscaleNet(nn.Module):
 
             for _ in range(s2d):
                 x = space_to_depth(x)
-        h = Conv2dWNUB(self.n_ftrs, self.size, self.size, 3, 1, 1, name="conv_block0")(x, s2d=s2d)
-        h = lrelu(h)
-        h = Conv2dWNUB(self.n_ftrs, self.size, self.size, 3, 1, 1, name="conv_block1")(h, s2d=s2d)
-        h = lrelu(h)
+        h = x
+        for i in range(self.n_convs):
+            h = Conv2dWNUB(
+                self.n_ftrs, self.size, self.size, 3, 1, 1, name=f"conv_block{i}"
+            )(h, s2d=s2d)
+            h = lrelu(h)
         h = Conv2dWNUB(
             self.out_channels * self.upscale_factor**2,
             self.size, self.size, 1, 1, 0, name="out_block",

@@ -34,12 +34,19 @@ def rasterize_uv_maps(
     uv_coords: np.ndarray,  # [Vt, 2] in [0, 1]
     uv_faces: np.ndarray,  # [F, 3] indices into uv_coords
     uv_size: int,
-    flip_v: bool = True,
+    flip_v: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """→ (face_index [H, W] int32, −1 = empty; barys [H, W, 3] float32).
 
     Numpy bbox rasterizer over texel centers — equivalent of the pytorch3d
-    ``rasterize_meshes`` call in geom.py:32-67 but host-side and offline."""
+    ``rasterize_meshes`` call in geom.py:32-67 but host-side and offline.
+
+    Orientation: the DEFAULT (flip_v=False) reproduces the reference maps
+    exactly — row ∝ v, col ∝ u.  The reference's ``make_uv_face_index``
+    pre-flips both axes (``vt = 1 - vt``, geom.py:54) and pytorch3d's NDC
+    convention (+X left, +Y up, row 0 at +Y) flips them back, so the double
+    flip cancels (verified texel-exact vs a faithful rasterize_meshes stand-in
+    in tests/test_uvmap_reference_parity.py)."""
     H = W = uv_size
     face_index = np.full((H, W), -1, np.int32)
     barys = np.zeros((H, W, 3), np.float32)
@@ -101,7 +108,7 @@ def impaint_index_maps(
         dist, nearest = tree.query(np.stack([ey, ex], 1))
         src_y, src_x = vy[nearest], vx[nearest]
         if distance_threshold is not None:
-            keep = dist <= distance_threshold
+            keep = dist < distance_threshold  # strict, as geom.py:176
             ey, ex, src_y, src_x = ey[keep], ex[keep], src_y[keep], src_x[keep]
     except ImportError:  # brute-force fallback for small maps
         vy, vx = np.where(valid)
@@ -141,7 +148,12 @@ class GeometryModule:
     vert_index_img: jnp.ndarray  # [H, W, 3] geometry vert ids per texel
     bary_img: jnp.ndarray  # [H, W, 3]
     valid_mask: jnp.ndarray  # [H, W] 1 where a chart covers the texel
-    vert_uv: jnp.ndarray  # [V, 2] representative UV per GEOMETRY vertex
+    v2uv: jnp.ndarray  # [V, K] UV-vertex ids per GEOMETRY vertex (dups on seams)
+
+    @property
+    def vert_uv(self) -> jnp.ndarray:
+        """[V, 2] representative UV per geometry vertex (first duplicate)."""
+        return self.uv_coords[self.v2uv[:, 0]]
 
     @classmethod
     def create(
@@ -151,23 +163,34 @@ class GeometryModule:
         uv_faces: np.ndarray,
         uv_size: int,
         impaint: bool = True,
-        flip_uv: bool = True,
+        flip_uv: bool = False,
+        v2uv: Optional[np.ndarray] = None,
+        impaint_threshold: float = 100.0,
     ) -> "GeometryModule":
+        """``v2uv`` [V, K]: per-geometry-vertex UV-vertex duplicates (the
+        reference topology asset, mesh_vae_drivable.py:96); from_uv averages
+        samples over all K (geom.py:299-300).  If absent, a [V, 1] table is
+        derived from the first uv-face occurrence (exact when the atlas has
+        no seam-duplicated vertices, as in the synthetic fixtures)."""
         face_index, barys = rasterize_uv_maps(uv_coords, uv_faces, uv_size, flip_v=flip_uv)
         valid = (face_index >= 0).astype(np.float32)
         if impaint:
-            face_index, barys = impaint_index_maps(face_index, barys)
+            # texels farther than the threshold stay empty (zero barys), like
+            # the reference's index_image_impaint(distance_threshold=100)
+            face_index, barys = impaint_index_maps(face_index, barys, impaint_threshold)
         vert_index = uv_vert_index_from_face_index(face_index, np.asarray(verts_faces))
-        # representative uv per geometry vertex (first uv-face occurrence)
-        V = int(np.asarray(verts_faces).max()) + 1
-        vert_uv = np.zeros((V, 2), np.float32)
-        seen = np.zeros(V, bool)
-        vf = np.asarray(verts_faces).reshape(-1)
-        uf = np.asarray(uv_faces).reshape(-1)
-        for gi, ti in zip(vf, uf):
-            if not seen[gi]:
-                vert_uv[gi] = uv_coords[ti]
-                seen[gi] = True
+        if v2uv is None:
+            V = int(np.asarray(verts_faces).max()) + 1
+            v2uv_np = np.zeros((V, 1), np.int64)
+            seen = np.zeros(V, bool)
+            vf = np.asarray(verts_faces).reshape(-1)
+            uf = np.asarray(uv_faces).reshape(-1)
+            for gi, ti in zip(vf, uf):
+                if not seen[gi]:
+                    v2uv_np[gi, 0] = ti
+                    seen[gi] = True
+        else:
+            v2uv_np = np.asarray(v2uv, np.int64)
         return cls(
             faces=jnp.asarray(verts_faces, jnp.int32),
             uv_coords=jnp.asarray(uv_coords, jnp.float32),
@@ -175,7 +198,7 @@ class GeometryModule:
             vert_index_img=jnp.asarray(vert_index),
             bary_img=jnp.asarray(barys),
             valid_mask=jnp.asarray(valid),
-            vert_uv=jnp.asarray(vert_uv),
+            v2uv=jnp.asarray(v2uv_np, jnp.int32),
         )
 
     def to_uv(self, values: jnp.ndarray) -> jnp.ndarray:
@@ -184,16 +207,17 @@ class GeometryModule:
         gathered = values[:, idx]  # [B, H, W, 3, C]
         return (gathered * self.bary_img[None, ..., None]).sum(axis=-2)
 
-    def from_uv(self, uv_img: jnp.ndarray, flip_uv: bool = True) -> jnp.ndarray:
-        """[B, H, W, C] → [B, V, C] (sample_uv, geom.py:274-302)."""
-        uv = self.vert_uv
-        v = 1.0 - uv[:, 1] if flip_uv else uv[:, 1]
-        grid = jnp.stack([uv[:, 0] * 2 - 1, v * 2 - 1], axis=-1)
+    def from_uv(self, uv_img: jnp.ndarray) -> jnp.ndarray:
+        """[B, H, W, C] → [B, V, C] (sample_uv, geom.py:274-302): bilinear
+        sample at every UV vertex (align_corners=True, zeros padding — the
+        reference's F.grid_sample defaults), then mean over each geometry
+        vertex's seam duplicates via v2uv (geom.py:298-300)."""
+        uv = self.uv_coords  # [Vt, 2], row ∝ v / col ∝ u — same frame as maps
+        grid = uv * 2.0 - 1.0
         grid = jnp.broadcast_to(grid[None, :, None, :], (uv_img.shape[0], uv.shape[0], 1, 2))
-        # border clamping: chart-edge vertices must read the edge texel, not
-        # fade into the zero background
-        out = grid_sample_bilinear(uv_img, grid, align_corners=False, padding_zero=False)
-        return out[:, :, 0, :]
+        out = grid_sample_bilinear(uv_img, grid, align_corners=True, padding_zero=True)
+        out = out[:, :, 0, :]  # [B, Vt, C]
+        return out[:, self.v2uv].mean(axis=2)  # [B, V, C]
 
 
 def face_normals(verts: jnp.ndarray, faces: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
@@ -207,20 +231,27 @@ def face_normals(verts: jnp.ndarray, faces: jnp.ndarray, normalize: bool = True)
     return n
 
 
-def vert_normals(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
-    """Area-weighted vertex normals via scatter-add (geom.py:334-346)."""
+def vert_normals(verts: jnp.ndarray, faces: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Vertex normals via scatter-add of NORMALIZED face normals
+    (geom.py:334-346 — not area-weighted: each face contributes its unit
+    normal once per corner)."""
     fn = face_normals(verts, faces, normalize=False)
-    V = verts.shape[1]
+    norm = jnp.linalg.norm(fn, axis=-1, keepdims=True)
+    fn = fn / jnp.where(norm < eps, 1.0, norm)
     vn = jnp.zeros_like(verts)
     for k in range(3):
         vn = vn.at[:, faces[:, k]].add(fn)
-    return vn / jnp.maximum(jnp.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
+    norm = jnp.linalg.norm(vn, axis=-1, keepdims=True)
+    return vn / jnp.where(norm < eps, 1.0, norm)
 
 
 def compute_view_cos(verts: jnp.ndarray, faces: jnp.ndarray, campos: jnp.ndarray) -> jnp.ndarray:
-    """Per-vertex cos(angle between normal and view dir) (geom.py:347-357)."""
+    """Per-vertex cos(angle between normal and the CAMERA→VERTEX direction)
+    (geom.py:347-351 — the reference dots against ``verts - camera_pos``, so
+    surfaces facing the camera get NEGATIVE view-cos; sign matters, the view
+    UNet was trained on it)."""
     vn = vert_normals(verts, faces)
-    view = campos[:, None, :] - verts
+    view = verts - campos[:, None, :]
     view = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-12)
     return jnp.einsum("bvd,bvd->bv", vn, view)
 

@@ -161,9 +161,17 @@ class LBSModule:
         skin_weights,
         template_verts,
         global_scaling: float = 1.0,
+        bind_offsets=None,
     ) -> "LBSModule":
+        """``bind_offsets``: channel offsets for the BIND state.  The
+        reference solves the bind pose from all-zero params INCLUDING zero
+        scale (lbs.py:112-115), so when the constant scale params have been
+        folded into ``transform_offsets`` (convert_static_assets) the
+        pre-fold offsets must be supplied here — else the bind absorbs the
+        scale and every unpose/pose transform is off."""
         zero_pose = jnp.zeros((1, transform.shape[1]), jnp.float32)
-        params0 = param_transform(zero_pose, jnp.asarray(transform), jnp.asarray(transform_offsets))
+        bo = transform_offsets if bind_offsets is None else bind_offsets
+        params0 = param_transform(zero_pose, jnp.asarray(transform), jnp.asarray(bo))
         bind_state = solve_skeleton_state(skel, params0)
         return cls(
             skel=skel,

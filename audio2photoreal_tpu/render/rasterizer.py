@@ -140,10 +140,14 @@ def interpolate_uv(
     raster: RasterOut,
     uv_coords: jnp.ndarray,  # [Vt, 2]
     uv_faces: jnp.ndarray,  # [F, 3]
-    flip_uv: bool = True,
+    flip_uv: bool = False,
 ) -> jnp.ndarray:
     """Per-pixel UV coordinates from the rasterization (TexturesUV sampling
-    prep, render.py:50-57).
+    prep, render.py:50-57).  Default samples texture row ∝ v: the UV-space
+    images decoded by the avatar are row ∝ v (reference map orientation —
+    see rasterize_uv_maps), and the reference reconciles pytorch3d's
+    bottom-left TexturesUV origin by flipping the texture (render.py:52-53),
+    which nets out to the same row ∝ v lookup.
 
     The per-face UV triplet table [F, 3, 2] is assembled once (dense, F
     faces) so the per-pixel step is ONE gather with a contiguous 24-byte
@@ -217,10 +221,10 @@ def render_mesh(
     uses the packed-RGB8 sampler (see render_texture_packed); that product
     path consumes face_index only as a coverage mask, so the raster skips
     the exact face-id remap."""
-    # per-corner UVs with the v-flip baked in — on TPU the kernel interpolates
-    # UV in-VMEM (no per-pixel gather)
+    # per-corner UVs baked into the kernel — on TPU it interpolates UV
+    # in-VMEM (no per-pixel gather); row ∝ v matches the reference UV-map
+    # orientation (see interpolate_uv)
     fuv = uv_coords[uv_faces]  # [F, 3, 2]
-    fuv = jnp.stack([fuv[..., 0], 1.0 - fuv[..., 1]], axis=-1)
     raster = rasterize(
         pix_verts, depth, faces, height, width, face_uv=fuv,
         exact_face_ids=not packed_display,

@@ -431,12 +431,16 @@ def convert_pose_to_shadow(sd, prefix) -> Dict[str, Any]:
 
 
 def convert_upscale_net(sd, prefix) -> Dict[str, Any]:
-    """UpscaleNet (ca_body/nn/blocks.py:757-786) → params."""
-    return {
+    """UpscaleNet → params.  Auto-detects the variant: the avatar's own
+    single-conv definition (mesh_vae_drivable.py:740-770 — what body_dec.ckpt
+    contains) or nn/blocks.py:757-786's two-conv one."""
+    p = {
         "conv_block0": wn_conv(sd, f"{prefix}.conv_block.0", untied=True),
-        "conv_block1": wn_conv(sd, f"{prefix}.conv_block.2", untied=True),
         "out_block": wn_conv(sd, f"{prefix}.out_block", untied=True),
     }
+    if f"{prefix}.conv_block.2.weight_v" in sd:
+        p["conv_block1"] = wn_conv(sd, f"{prefix}.conv_block.2", untied=True)
+    return p
 
 
 def convert_face_decoder(sd, prefix, n_tex_ups: int = 8) -> Dict[str, Any]:

@@ -218,7 +218,7 @@ def test_upscale_net_matches_reference():
         out_t = ref(x)
     sd = {f"u.{k}": v for k, v in ref.state_dict().items()}
     params = {"params": convert.convert_upscale_net(sd, "u")}
-    out_j = UpscaleNet(out_channels=3, n_ftrs=4, size=32).apply(params, _nchw(x))
+    out_j = UpscaleNet(out_channels=3, n_ftrs=4, size=32, n_convs=2).apply(params, _nchw(x))
     _assert_close(out_j, out_t)
 
 
@@ -234,7 +234,7 @@ def test_upscale_net_s2d2_path_matches_reference():
         out_t = ref(x)
     sd = {f"u.{k}": v for k, v in ref.state_dict().items()}
     params = {"params": convert.convert_upscale_net(sd, "u")}
-    out_j = UpscaleNet(out_channels=3, n_ftrs=4, size=512, s2d_level=2).apply(
+    out_j = UpscaleNet(out_channels=3, n_ftrs=4, size=512, s2d_level=2, n_convs=2).apply(
         params, _nchw(x)
     )
     _assert_close(out_j, out_t, atol=1e-4)

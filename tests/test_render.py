@@ -210,7 +210,9 @@ def test_normals_flat_quad():
     np.testing.assert_allclose(np.asarray(vn[0, :, 2]), 1.0, atol=1e-6)
     campos = jnp.array([[0.5, 0.5, 5.0]])
     cos = compute_view_cos(verts, faces, campos)
-    assert np.all(np.asarray(cos) > 0.9)
+    # reference semantics (geom.py:347-351): dot(normal, verts - campos) —
+    # a camera FACING the surface sees NEGATIVE view-cos
+    assert np.all(np.asarray(cos) < -0.9)
 
 
 # ---------------- rasterizer ----------------
