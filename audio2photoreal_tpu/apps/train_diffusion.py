@@ -86,7 +86,19 @@ def train(
 
     state = create_train_state(params, tcfg)
     state = jax.device_put(state, replicated(mesh))
-    step_fn = jax.jit(make_diffusion_train_step(model, sched, dcfg, tcfg.ema_decay))
+    loss_aware = tcfg.schedule_sampler == "loss_second_moment"
+    step_fn = jax.jit(
+        make_diffusion_train_step(
+            model, sched, dcfg, tcfg.ema_decay, schedule_sampler=tcfg.schedule_sampler
+        )
+    )
+    ts_state = None
+    if loss_aware:
+        from audio2photoreal_tpu.diffusion.tsample import LossSecondMomentState
+
+        ts_state = jax.device_put(
+            LossSecondMomentState.init(sched.num_timesteps), replicated(mesh)
+        )
 
     ckpt_dir = os.path.join(save_dir, "ckpt")
 
@@ -157,7 +169,10 @@ def train(
         batch = shard_batch(mesh, next(batches))
         # ONE base key for the run; the jitted step folds state.step in —
         # an eager per-step split serializes the loop through the tunnel
-        state, metrics = step_fn(state, batch, rng)
+        if loss_aware:
+            state, metrics, ts_state = step_fn(state, batch, rng, ts_state)
+        else:
+            state, metrics = step_fn(state, batch, rng)
         if i % tcfg.log_interval == 0:
             kv = {k: float(v) for k, v in metrics.items() if np.isfinite(float(v))}
             logger.log(i, kv)
@@ -212,6 +227,10 @@ def main():
                         "scene and train on feature windows (data/feature_cache.py) "
                         "— removes the wav2vec stack from every step; group-norm "
                         "statistics span ~20s cache segments instead of the crop")
+    p.add_argument("--schedule_sampler", default="uniform",
+                   choices=["uniform", "loss_second_moment"],
+                   help="timestep sampler (reference --schedule_sampler: "
+                        "uniform | loss-second-moment, resample.py:22-35)")
     p.add_argument("--train_platform_type", default="NoPlatform",
                    choices=["NoPlatform", "TensorboardPlatform"],
                    help="experiment reporter strategy (reference "
@@ -247,6 +266,7 @@ def main():
         save_interval=args.save_interval,
         seed=args.seed,
         rng_impl=args.rng_impl,
+        schedule_sampler=args.schedule_sampler,
     )
     from audio2photoreal_tpu.train.logging import create_platform
 

@@ -154,6 +154,9 @@ class TrainConfig:
     rng_impl: str = "rbg"
     grad_clip: float = 0.0
     ema_decay: float = 0.0  # 0 disables
+    # timestep sampler: "uniform" (reference default) or "loss_second_moment"
+    # (importance sampling by loss second moment, resample.py:138-168)
+    schedule_sampler: str = "uniform"
     # parallelism: -1 = all remaining devices on that axis
     mesh_shape: Tuple[int, ...] = (-1,)
     mesh_axes: Tuple[str, ...] = ("data",)

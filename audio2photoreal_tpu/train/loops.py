@@ -35,11 +35,25 @@ def make_diffusion_train_step(
     schedule: Schedule,
     dcfg: DiffusionConfig,
     ema_decay: float = 0.0,
+    schedule_sampler: str = "uniform",
 ):
     """One denoiser training step (reference: training_loop.py:174-215 +
-    gaussian_diffusion.py:1195-1271)."""
+    gaussian_diffusion.py:1195-1271).
 
-    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+    ``schedule_sampler``: "uniform" (reference default, resample.py:75) or
+    "loss_second_moment" (resample.py:138-168) — the latter threads a
+    ``tsample.LossSecondMomentState`` through the step:
+    ``step(state, batch, rng, ts_state) -> (state, metrics, ts_state)``."""
+    loss_aware = schedule_sampler == "loss_second_moment"
+    if not loss_aware and schedule_sampler != "uniform":
+        raise ValueError(f"unknown schedule_sampler {schedule_sampler!r}")
+
+    def step(
+        state: TrainState,
+        batch: Dict[str, jnp.ndarray],
+        rng: jax.Array,
+        ts_state: Optional[tsample.LossSecondMomentState] = None,
+    ):
         # fold the step counter in HERE, inside the compiled step: an eager
         # per-step split in the host loop is its own tiny device execution,
         # which serializes the loop through the device tunnel (3x slowdown
@@ -48,7 +62,10 @@ def make_diffusion_train_step(
         k_t, k_noise, k_drop, k_dropout = jax.random.split(rng, 4)
         x0 = batch["motion"]
         B = x0.shape[0]
-        t, weights = tsample.uniform_sample(k_t, schedule.num_timesteps, B)
+        if loss_aware:
+            t, weights = tsample.loss_second_moment_sample(k_t, ts_state, B)
+        else:
+            t, weights = tsample.uniform_sample(k_t, schedule.num_timesteps, B)
         noise = jax.random.normal(k_noise, x0.shape)
         xt = gaussian.q_sample(schedule, x0, t, noise)
         mask = batch["mask"][..., None]
@@ -109,6 +126,13 @@ def make_diffusion_train_step(
             metrics[f"loss_q{q}"] = jnp.where(
                 sel.any(), (terms["loss"] * sel).sum() / jnp.maximum(sel.sum(), 1), jnp.nan
             )
+        if loss_aware:
+            # reference update_with_local_losses (resample.py:85-118); the
+            # pmean inside keeps replicas identical under a mesh
+            ts_state = tsample.loss_second_moment_update(
+                ts_state, t, jax.lax.stop_gradient(terms["loss"])
+            )
+            return state, metrics, ts_state
         return state, metrics
 
     return step

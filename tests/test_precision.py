@@ -121,3 +121,29 @@ def test_step_accepts_rbg_keys():
     step = jax.jit(make_diffusion_train_step(model, sched, DiffusionConfig()))
     state, m = step(state, batch, rng_util.key(0, "rbg"))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_loss_second_moment_sampler_step():
+    """--schedule_sampler loss_second_moment (reference resample.py:138-168):
+    the step threads a LossSecondMomentState, counts fill toward the history
+    depth, and sampling stays uniform until every timestep is warm."""
+    from audio2photoreal_tpu.diffusion import tsample
+
+    model, params, batch = _setup("float32")
+    sched = make_schedule("cosine", 10)
+    state = create_train_state(params, TrainConfig(lr=1e-4))
+    step = jax.jit(
+        make_diffusion_train_step(
+            model, sched, DiffusionConfig(), schedule_sampler="loss_second_moment"
+        )
+    )
+    ts = tsample.LossSecondMomentState.init(10, history_per_term=2)
+    for i in range(4):
+        state, m, ts = step(state, batch, jax.random.PRNGKey(i), ts)
+        assert np.isfinite(float(m["loss"]))
+    # 8 draws recorded, each bin clamped at the ring-buffer depth (H=2)
+    assert 0 < int(ts.counts.sum()) <= 8
+    assert int(ts.counts.max()) <= 2
+    # weights stay uniform before warmup, valid distribution afterward
+    w = tsample.loss_second_moment_weights(ts)
+    np.testing.assert_allclose(float(w.sum()), 1.0, rtol=1e-5)
