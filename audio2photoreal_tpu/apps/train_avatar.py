@@ -1,0 +1,122 @@
+"""Fine-tune the codec avatar (BodyAvatar) — the renderer's training path.
+
+Role of the reference's generic config-driven loop
+(visualize/ca_body/utils/train.py:152-222) specialized to the avatar: the
+training-mode forward with GT-AO shadow + pose→shadow distillation and the
+per-camera calibration modules (CalV5 / LearnableBlur / CameraPixelBias,
+mesh_vae_drivable.py:322-371), optimized with make_avatar_train_step.
+
+Data contract: a directory of ``.npz`` frame batches, each holding
+    motion [B,104]  geom [B,V,3]  face_embs [B,Nf]  ao [B,S,S,1]
+    campos [B,3]  K [B,3,3]  Rt [B,3,4]  image [B,H,W,3]
+    image_mask [B,H,W,1] (optional)  cam_idx [B] int32
+(the mugsy capture exports the reference trains ca_body from are not public;
+this is their minimal tensor form).  Resumes from and checkpoints into a
+renderer bundle dir (render/assets.py:save_renderer_bundle layout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def train(
+    renderer_dir: str,
+    data_dir: str,
+    num_steps: int = 1000,
+    lr: float = 1e-3,
+    save_interval: int = 500,
+    kl_weight: float = 1e-3,
+    seed: int = 0,
+    logger=None,
+):
+    from audio2photoreal_tpu.core.config import TrainConfig
+    from audio2photoreal_tpu.render.assets import (
+        RendererConfig,
+        convert_static_assets,
+        make_synthetic_assets,
+    )
+    from audio2photoreal_tpu.render.mesh_vae import BodyAvatar
+    from audio2photoreal_tpu.train import checkpoints
+    from audio2photoreal_tpu.train.loops import make_avatar_train_step
+    from audio2photoreal_tpu.train.logging import KVLogger
+    from audio2photoreal_tpu.train.state import create_train_state
+
+    with open(os.path.join(renderer_dir, "renderer.json")) as f:
+        cfg = RendererConfig(**json.load(f))
+    if cfg.n_cameras <= 0:
+        raise SystemExit(
+            "renderer.json has n_cameras=0 (inference-only config) — set it to "
+            "the capture's camera count to build the calibration modules"
+        )
+    sa = os.path.join(renderer_dir, "static_assets.pt")
+    assets = convert_static_assets(sa, cfg) if os.path.exists(sa) else make_synthetic_assets(cfg)
+    model = BodyAvatar(cfg, assets)
+
+    files = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
+    if not files:
+        raise SystemExit(f"no .npz frame batches under {data_dir}")
+
+    def load_batch(path):
+        z = np.load(path)
+        return {k: jnp.asarray(z[k]) for k in z.files}
+
+    batch0 = load_batch(files[0])
+    ckpt_dir = os.path.join(renderer_dir, "ckpt")
+    restored = checkpoints.restore(ckpt_dir, None)
+    params = restored["params"] if "params" in restored else restored
+    # initialize with the training modules present, then graft the restored
+    # inference weights on top — calibration params start fresh
+    init_params = model.init(
+        {"params": jax.random.PRNGKey(seed)},
+        batch0["motion"], batch0["campos"], geom=batch0["geom"],
+        face_embs=batch0["face_embs"], K=batch0["K"], Rt=batch0["Rt"],
+        ao=batch0["ao"], training=True, cam_idx=batch0["cam_idx"],
+    )
+    merged = dict(init_params["params"])
+    for k, v in params.get("params", params).items():
+        merged[k] = v
+    params = {"params": merged}
+
+    state = create_train_state(params, TrainConfig(lr=lr))
+    step = jax.jit(make_avatar_train_step(model, kl_weight=kl_weight))
+    logger = logger or KVLogger(os.path.join(renderer_dir, "train_log"))
+    rng = jax.random.PRNGKey(seed)
+    for i in range(num_steps):
+        batch = load_batch(files[i % len(files)])
+        state, metrics = step(state, batch, rng)
+        if i % 50 == 0 or i == num_steps - 1:
+            logger.log(i, {k: float(v) for k, v in metrics.items()})
+        if (i + 1) % save_interval == 0 or i == num_steps - 1:
+            checkpoints.save(
+                ckpt_dir, i + 1, {"params": jax.device_get(state.params)}
+            )
+    return state
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--renderer_dir", required=True,
+                   help="renderer bundle dir (render/assets.py layout)")
+    p.add_argument("--data_dir", required=True, help="dir of .npz frame batches")
+    p.add_argument("--num_steps", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--save_interval", type=int, default=500)
+    p.add_argument("--kl_weight", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+    train(
+        args.renderer_dir, args.data_dir, args.num_steps, args.lr,
+        args.save_interval, args.kl_weight, args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -105,7 +105,9 @@ class LearnableBlur(nn.Module):
 
 
 class CameraPixelBias(nn.Module):
-    """Per-camera learned pixel bias at low res, upsampled onto the render."""
+    """Per-camera learned pixel bias at low res, bilinearly upsampled onto
+    the render and broadcast over channels (mesh_vae_drivable.py:52-70:
+    bias is [n_cameras, 1, H/ds, W/ds])."""
 
     n_cameras: int
     height: int
@@ -115,5 +117,5 @@ class CameraPixelBias(nn.Module):
     @nn.compact
     def __call__(self, cam_idx: jnp.ndarray) -> jnp.ndarray:
         h, w = self.height // self.ds_rate, self.width // self.ds_rate
-        bias = self.param("bias", nn.initializers.zeros, (self.n_cameras, h, w, 3))
+        bias = self.param("bias", nn.initializers.zeros, (self.n_cameras, h, w, 1))
         return resize_bilinear(bias[cam_idx], (self.height, self.width))

@@ -61,6 +61,10 @@ class RendererConfig:
     noise_std: float = 1.0
     image_height: int = 1024
     image_width: int = 667
+    # > 0 enables the training-only per-camera calibration modules
+    # (CalV5 / LearnableBlur / CameraPixelBias, mesh_vae_drivable.py:180-200);
+    # 0 = inference-only avatar, no calibration params
+    n_cameras: int = 0
 
 
 class BodyEncoder(nn.Module):
@@ -313,6 +317,21 @@ class BodyAvatar(nn.Module):
         self.upscale_net = UpscaleNet(
             out_channels=3, n_ftrs=16, size=c.uv_size, name="upscale_net"
         )
+        # training-only calibration (mesh_vae_drivable.py:180-200 wires CalV5 /
+        # LearnableBlur / CameraPixelBias when the training config enables them)
+        if c.n_cameras > 0:
+            from audio2photoreal_tpu.render.calibration import (
+                CalV5,
+                CameraPixelBias,
+                LearnableBlur,
+            )
+
+            self.cal = CalV5(n_cameras=c.n_cameras, name="cal")
+            self.learn_blur = LearnableBlur(n_cameras=c.n_cameras, name="learn_blur")
+            self.pixel_cal = CameraPixelBias(
+                n_cameras=c.n_cameras, height=c.image_height, width=c.image_width,
+                name="pixel_cal",
+            )
 
     def face_codes_to_body_embs(self, face_embs_hqlp: jnp.ndarray) -> jnp.ndarray:
         """HQLP face codes → body-space face embeddings via the frozen face
@@ -373,6 +392,8 @@ class BodyAvatar(nn.Module):
         render: bool = True,
         noise_key=None,
         render_display: bool = False,
+        cam_idx: Optional[jnp.ndarray] = None,  # [B] int — training calibration
+        training: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """``render_display=True`` is the production video path: the display
         transform (utils/image.py linear2displayBatch) runs densely over the
@@ -390,7 +411,13 @@ class BodyAvatar(nn.Module):
         geom_rec = self.assets.lbs.pose(dec["geom_delta_rec"], lbs_motion)
         dec_view = self.decoder_view(geom_rec, dec["tex_mean_rec"], campos)
 
-        if use_pose_shadow:
+        if training and ao is not None:
+            # training branch (mesh_vae_drivable.py:322-329): the texture uses
+            # the GT-AO shadow; pose_to_shadow trains against it (its map is
+            # exposed for a distillation loss, train/loops.py)
+            shadow = self.shadow_net(ao)
+            shadow["pose_shadow_map"] = self.pose_to_shadow(lbs_motion)["shadow_map"]
+        elif use_pose_shadow:
             shadow = self.pose_to_shadow(lbs_motion)
         else:
             shadow = self.shadow_net(ao)
@@ -398,6 +425,9 @@ class BodyAvatar(nn.Module):
             dec["tex_mean_rec"], dec_view["tex_view_rec"], shadow["shadow_map"],
             final_seam=not render_display,
         )
+        if training and self.cfg.n_cameras > 0 and cam_idx is not None:
+            # per-camera color calibration on the texture (:337-339)
+            tex_rec = self.cal(tex_rec, cam_idx)
 
         preds.update(geom=geom_rec, tex_rec=tex_rec, **dec, **shadow, **dec_view)
 
@@ -405,6 +435,12 @@ class BodyAvatar(nn.Module):
             from audio2photoreal_tpu.render.geometry import project_points
 
             pix, depth = project_points(geom_rec, K, Rt)
+            if training:
+                # visibility is non-differentiable (and the Pallas raster has
+                # no VJP); geometry trains through the direct vertex loss
+                # (make_avatar_train_step), texture/calibration through rgb
+                pix = jax.lax.stop_gradient(pix)
+                depth = jax.lax.stop_gradient(depth)
             tex_out = tex_rec
             tex_packed = None
             if render_display:
@@ -423,5 +459,10 @@ class BodyAvatar(nn.Module):
                 packed_display=render_display,
                 texture_packed=tex_packed,
             )
+            if training and self.cfg.n_cameras > 0 and cam_idx is not None:
+                # per-camera depth-of-field proxy + pixel bias on the render
+                # (mesh_vae_drivable.py:363-371)
+                rgb = self.learn_blur(rgb, cam_idx)
+                rgb = rgb + self.pixel_cal(cam_idx)
             preds.update(rgb=rgb, depth=raster.depth, pix_to_face=raster.face_index)
         return preds

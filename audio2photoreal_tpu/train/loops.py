@@ -186,6 +186,112 @@ def make_vq_train_step(model, commit_weight: float = 0.02, lambda_vel: float = 1
 
 
 # --------------------------------------------------------------------- #
+# codec-avatar renderer (ca_body)
+# --------------------------------------------------------------------- #
+
+
+def make_avatar_train_step(
+    model,
+    kl_weight: float = 1e-3,
+    geom_weight: float = 1.0,
+    shadow_weight: float = 0.1,
+    blur_reg_weight: float = 1e-3,
+):
+    """One BodyAvatar fine-tuning step (the training-mode forward the
+    reference wires through CalV5/LearnableBlur/CameraPixelBias +
+    ShadowUNet/PoseToShadow, mesh_vae_drivable.py:322-371, driven by the
+    generic config loop ca_body/utils/train.py:152-222 — the reference ships
+    the machinery but not a concrete loss module; this step uses the
+    standard codec-avatar objective):
+
+    - masked L1 image reconstruction (through texture + calibration; the
+      raster's visibility is non-differentiable so geometry trains via a
+      direct vertex L2 against the GT geometry),
+    - VAE KL on the body/face encoder posteriors,
+    - pose→shadow distillation (pose_to_shadow learns to mimic the GT-AO
+      ShadowUNet map, enabling AO-free inference),
+    - LearnableBlur identity regularizer (dof_cal.py reg).
+
+    batch: motion [B,104], geom [B,V,3], face_embs [B,Nf], ao
+    [B,S,S,1], campos/K/Rt, image [B,H,W,3], image_mask [B,H,W,1],
+    cam_idx [B] int32.
+    """
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        k_noise = jax.random.fold_in(rng, 1)
+
+        def loss_fn(params):
+            preds = model.apply(
+                params,
+                batch["motion"],
+                batch["campos"],
+                geom=batch["geom"],
+                face_embs=batch["face_embs"],
+                K=batch["K"],
+                Rt=batch["Rt"],
+                ao=batch["ao"],
+                encode=True,
+                training=True,
+                cam_idx=batch["cam_idx"],
+                noise_key=k_noise,
+                render=True,
+            )
+            mask = batch.get("image_mask")
+            if mask is None:
+                mask = (preds["pix_to_face"] >= 0)[..., None].astype(jnp.float32)
+            denom = jnp.maximum(mask.sum(), 1.0)
+            l_rgb = (jnp.abs(preds["rgb"] - batch["image"]) * mask).sum() / denom / 3.0
+            l_geom = ((preds["geom"] - batch["geom"]) ** 2).mean()
+
+            def kl(mu, logvar):
+                # embs = mu + exp(logvar)·noise (mesh_vae_drivable.py:441-447)
+                # → σ = exp(logvar); KL(N(mu,σ²) ‖ N(0,1))
+                return 0.5 * (
+                    jnp.exp(2 * logvar) + mu**2 - 1.0 - 2 * logvar
+                ).mean()
+
+            l_kl = kl(preds["embs_mu"], preds["embs_logvar"]) + kl(
+                preds["face_embs_mu"], preds["face_embs_logvar"]
+            )
+            l_shadow = (
+                (preds["pose_shadow_map"] - jax.lax.stop_gradient(preds["shadow_map"]))
+                ** 2
+            ).mean()
+            l_blur = (
+                1.0
+                - jax.nn.softmax(
+                    params["params"]["learn_blur"]["weights"][batch["cam_idx"]], -1
+                )[:, 0]
+            ).mean()
+            loss = (
+                l_rgb
+                + geom_weight * l_geom
+                + kl_weight * l_kl
+                + shadow_weight * l_shadow
+                + blur_reg_weight * l_blur
+            )
+            return loss, {
+                "loss_rgb": l_rgb,
+                "loss_geom": l_geom,
+                "loss_kl": l_kl,
+                "loss_shadow": l_shadow,
+                "loss_blur_reg": l_blur,
+            }
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        new_state = state.apply_gradients(grads)
+        state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), new_state, state
+        )
+        return state, {"loss": loss, "grad_norm": grad_norm, **parts}
+
+    return step
+
+
+# --------------------------------------------------------------------- #
 # guide transformer
 # --------------------------------------------------------------------- #
 

@@ -1,0 +1,139 @@
+"""Renderer TRAINING path (VERDICT r2 missing #3): the training-mode
+BodyAvatar forward — GT-AO ShadowUNet + pose→shadow distillation head,
+CalV5 texture calibration, LearnableBlur + CameraPixelBias on the render
+(reference mesh_vae_drivable.py:322-371) — driven by make_avatar_train_step
+for a few steps on synthetic assets; loss must decrease and stay finite."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio2photoreal_tpu.core.config import TrainConfig
+from audio2photoreal_tpu.render.assets import make_synthetic_assets
+from audio2photoreal_tpu.render.mesh_vae import BodyAvatar, RendererConfig
+from audio2photoreal_tpu.train.loops import make_avatar_train_step
+from audio2photoreal_tpu.train.state import create_train_state
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = RendererConfig(
+        uv_size=64, init_uv_size=16, upscale_size=128, n_embs=16,
+        n_face_embs=16, n_pose_enc_channels=8, n_embs_enc_channels=8,
+        n_init_channels=16, n_min_channels=4, shadow_size=32,
+        view_unet_ftrs=4, encoder_in_size=64, face_tex_size=64,
+        n_face_verts=64, image_height=48, image_width=32,
+        n_cameras=3,
+    )
+    assets = make_synthetic_assets(cfg)
+    model = BodyAvatar(cfg, assets)
+    B = 2
+    rng = np.random.RandomState(0)
+    V = assets.lbs.template_verts.shape[1]
+    motion = jnp.asarray(rng.randn(B, 104).astype(np.float32) * 0.1)
+    batch = {
+        "motion": motion,
+        "geom": jnp.asarray(np.asarray(assets.lbs.pose(None, motion))),
+        "face_embs": jnp.asarray(rng.randn(B, 16).astype(np.float32)),
+        "ao": jnp.asarray(rng.rand(B, 32, 32, 1).astype(np.float32)),
+        "campos": jnp.asarray(np.tile([0.0, -3.0, 1.0], (B, 1)).astype(np.float32)),
+        "K": jnp.asarray(
+            np.tile([[40.0, 0, 16], [0, 40.0, 24], [0, 0, 1]], (B, 1, 1)).astype(np.float32)
+        ),
+        "Rt": jnp.asarray(
+            np.tile([[1, 0, 0, 0], [0, 0, -1, 1], [0, 1, 0, 3]], (B, 1, 1)).astype(np.float32)
+        ),
+        "image": jnp.asarray(rng.rand(B, 48, 32, 3).astype(np.float32) * 100),
+        "cam_idx": jnp.asarray(np.array([1, 2], np.int32)),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        batch["motion"], batch["campos"], geom=batch["geom"],
+        face_embs=batch["face_embs"], K=batch["K"], Rt=batch["Rt"],
+        ao=batch["ao"], training=True, cam_idx=batch["cam_idx"],
+    )
+    return model, params, batch
+
+
+def test_training_forward_has_calibration_and_shadow_heads(setup):
+    model, params, batch = setup
+    # the calibration modules exist in the param tree (coverage row 42 is
+    # no longer an orphan)
+    for name in ("cal", "learn_blur", "pixel_cal"):
+        assert name in params["params"], name
+    preds = model.apply(
+        params, batch["motion"], batch["campos"], geom=batch["geom"],
+        face_embs=batch["face_embs"], K=batch["K"], Rt=batch["Rt"],
+        ao=batch["ao"], training=True, cam_idx=batch["cam_idx"],
+        noise_key=jax.random.PRNGKey(3),
+    )
+    assert "pose_shadow_map" in preds  # the distillation head
+    assert preds["rgb"].shape == batch["image"].shape
+    assert bool(jnp.all(jnp.isfinite(preds["rgb"])))
+
+
+def test_avatar_train_step_loss_decreases(setup):
+    model, params, batch = setup
+    state = create_train_state(params, TrainConfig(lr=2e-3))
+    step = jax.jit(make_avatar_train_step(model))
+    losses = []
+    for i in range(4):
+        state, m = step(state, batch, jax.random.PRNGKey(0))
+        losses.append(float(m["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
+    # the calibration params actually moved (they're in the gradient path)
+    assert float(jnp.abs(state.params["params"]["cal"]["weight"] - 1.0).max()) > 0
+
+def test_inference_forward_unchanged_without_cameras(setup):
+    """n_cameras=0 (the inference config) builds no calibration params."""
+    cfg = RendererConfig(
+        uv_size=64, init_uv_size=16, upscale_size=128, n_embs=16,
+        n_face_embs=16, n_pose_enc_channels=8, n_embs_enc_channels=8,
+        n_init_channels=16, n_min_channels=4, shadow_size=32,
+        view_unet_ftrs=4, encoder_in_size=64, face_tex_size=64,
+        n_face_verts=64, image_height=48, image_width=32,
+    )
+    assets = make_synthetic_assets(cfg)
+    model = BodyAvatar(cfg, assets)
+    B = 1
+    motion = jnp.zeros((B, 104))
+    campos = jnp.asarray([[0.0, -3.0, 1.0]])
+    geom = assets.lbs.pose(None, motion)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, motion, campos, geom=geom,
+        face_embs=jnp.zeros((B, 16)),
+    )
+    assert "cal" not in params["params"]
+
+
+def test_train_avatar_cli_roundtrip(setup, tmp_path):
+    """apps/train_avatar.train: renderer-bundle resume → 3 steps → ckpt saved
+    (the ca_body/utils/train.py:152-222 role)."""
+    import numpy as np
+
+    from audio2photoreal_tpu.apps.render_pipeline import Camera
+    from audio2photoreal_tpu.apps.train_avatar import train as train_avatar
+    from audio2photoreal_tpu.render.assets import save_renderer_bundle
+    from audio2photoreal_tpu.train import checkpoints
+
+    model, params, batch = setup
+    bundle = str(tmp_path / "bundle")
+    cams = {
+        "cam0": Camera(
+            campos=np.array([0.0, -3.0, 1.0], np.float32),
+            K=np.asarray(batch["K"][0]),
+            Rt=np.asarray(batch["Rt"][0]),
+        )
+    }
+    save_renderer_bundle(bundle, model.cfg, params, cams)
+    data_dir = tmp_path / "frames"
+    data_dir.mkdir()
+    np.savez(
+        data_dir / "batch0.npz",
+        **{k: np.asarray(v) for k, v in batch.items()},
+    )
+    state = train_avatar(bundle, str(data_dir), num_steps=3, save_interval=3)
+    assert int(state.step) == 3
+    assert checkpoints.latest_step(str(tmp_path / "bundle" / "ckpt")) == 3
