@@ -1,3 +1,3 @@
-from audio2photoreal_tpu.render import quaternion, lbs, geometry, rasterizer, color
+from audio2photoreal_tpu.render import quaternion, lbs, geometry, rasterizer, color, viz
 
-__all__ = ["quaternion", "lbs", "geometry", "rasterizer", "color"]
+__all__ = ["quaternion", "lbs", "geometry", "rasterizer", "color", "viz"]

@@ -125,14 +125,41 @@ class TensorboardPlatform(TrainPlatform):
         self._logger.close()
 
 
+class ClearmlPlatform(TrainPlatform):
+    """train_platforms.py:24-40 — same lazy-SDK pattern as the reference: the
+    ``clearml`` import happens in __init__, so selecting this platform without
+    the SDK installed raises at construction (exactly the reference behavior)
+    and the rest of the framework carries no dependency on it."""
+
+    def __init__(self, save_dir: str):
+        from clearml import Task  # not baked into this image; user-installed
+
+        super().__init__(save_dir)
+        path, name = os.path.split(save_dir)
+        self.task = Task.init(
+            project_name="motion_diffusion", task_name=name, output_uri=path
+        )
+        self.logger = self.task.get_logger()
+
+    def report_scalar(self, name: str, value: float, iteration: int, group_name: str = "") -> None:
+        self.logger.report_scalar(
+            title=group_name, series=name, iteration=iteration, value=value
+        )
+
+    def report_args(self, args, name: str = "args") -> None:
+        self.task.connect(args, name=name)
+
+    def close(self) -> None:
+        self.task.close()
+
+
 def create_platform(name: str, save_dir: Optional[str]) -> TrainPlatform:
     """``--train_platform_type`` factory (reference
-    utils/diff_parser_utils.py:182-187 + train_platforms.py).  The reference's
-    ClearmlPlatform is a proprietary SaaS client; external trackers plug in by
-    subclassing TrainPlatform and registering here."""
+    utils/diff_parser_utils.py:182-187 + train_platforms.py)."""
     platforms = {
         "NoPlatform": lambda: NoPlatform(save_dir),
         "TensorboardPlatform": lambda: TensorboardPlatform(save_dir),
+        "ClearmlPlatform": lambda: ClearmlPlatform(save_dir),
     }
     if name not in platforms:
         raise ValueError(f"unknown train platform {name!r}; options: {sorted(platforms)}")

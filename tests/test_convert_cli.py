@@ -15,6 +15,7 @@ import sys
 import numpy as np
 import pytest
 import torch
+import jax
 
 import jax.numpy as jnp
 
@@ -172,3 +173,45 @@ def test_convert_person_roundtrip(fake_tree, tmp_path, monkeypatch):
         cond_drop_prob=0.0, deterministic=True,
     )
     np.testing.assert_allclose(np.asarray(out_j), to_np(out_t), atol=5e-4, rtol=1e-3)
+
+
+def test_convert_person_empty_tree_raises(tmp_path):
+    root = tmp_path / "empty"
+    for sub in ("diffusion/c1_pose", "vq/c1_vq", "guide/c1_pose/checkpoints"):
+        os.makedirs(root / sub, exist_ok=True)
+    with pytest.raises(FileNotFoundError):
+        convert_person(str(root), "PXB184", str(tmp_path / "out"))
+
+
+@pytest.mark.slow
+def test_convert_person_partial_tree_vq_only(fake_tree, tmp_path):
+    """A tree holding only the VQ family converts just that family — the
+    per-family glob loop must not require the others to exist."""
+    import shutil
+
+    root, _, _, _ = fake_tree
+    part = tmp_path / "partial"
+    shutil.copytree(os.path.join(root, "vq"), part / "vq")
+    out = convert_person(str(part), "PXB184", str(tmp_path / "out"))
+    assert set(out) == {"c1_vq"}
+    vcfg = load_config(out["c1_vq"])["vq"]
+    assert vcfg.depth == 2 and vcfg.nfeats == 104
+
+
+@pytest.mark.slow
+def test_convert_person_picks_latest_checkpoint(fake_tree, tmp_path):
+    """Two model*.pt snapshots → the numerically-last one is converted
+    (reference keeps all snapshots; generate loads the newest)."""
+    import shutil
+
+    root, pose, _, _ = fake_tree
+    tree = tmp_path / "tree"
+    shutil.copytree(os.path.join(root, "diffusion"), tree / "diffusion")
+    dd = tree / "diffusion" / "c1_pose"
+    # an OLDER snapshot with zeroed weights; the newer real one must win
+    zeroed = {k: torch.zeros_like(v) for k, v in pose.state_dict().items()}
+    torch.save(zeroed, dd / "model000000000.pt")
+    out = convert_person(str(tree), "PXB184", str(tmp_path / "out"))
+    d = checkpoints.restore(os.path.join(out["c1_pose"], "ckpt"), None)
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(d["params"])]
+    assert any(np.abs(x).sum() > 0 for x in leaves)
