@@ -78,6 +78,12 @@ class UpConvBlockDeep(nn.Module):
     # with the surrounding resize/seam ops.  Kept as an opt-in (tested for
     # exactness) — default stays 1.
     s2d_level: int = 1
+    # s2d_in/s2d_out: the input/output tensor is ALREADY in s2d-1 layout
+    # ((ry, rx, c) channel blocks) — the decoder tail chains several s2d
+    # blocks plus the seam + final conv without relayouts in between; the
+    # 2× upsample runs in s2d coordinates (resize_bilinear_s2d)
+    s2d_in: bool = False
+    s2d_out: bool = False
 
     def _use_s2d(self, cin: int) -> bool:
         # the s2d path wins when the conv is lane-bound: big spatial extent,
@@ -92,9 +98,16 @@ class UpConvBlockDeep(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cin = x.shape[-1]
-        x_up = resize_bilinear(x, (self.size, self.size), align_corners=True)
+        from audio2photoreal_tpu.render.layers import (
+            depth_to_space,
+            resize_bilinear_s2d,
+            space_to_depth,
+        )
+
+        cin = x.shape[-1] // (4 if self.s2d_in else 1)
         if not self._use_s2d(cin):
+            assert not (self.s2d_in or self.s2d_out), "s2d IO needs the s2d path"
+            x_up = resize_bilinear(x, (self.size, self.size), align_corners=True)
             skip = Conv2dWN(
                 self.out_channels, kernel_size=1, padding=0, groups=self.groups,
                 name="conv_resize",
@@ -109,12 +122,18 @@ class UpConvBlockDeep(nn.Module):
         # ---- space-to-depth fast path: identical math, full vector lanes ----
         # the SAME WN layer modules declare the parameters (identical trees /
         # converters); `s2d` runs their conv algebra in s2d coordinates
-        from audio2photoreal_tpu.render.layers import depth_to_space, space_to_depth
-
         lvl = self.s2d_level if self.size >= 4 * 2**self.s2d_level else 1
-        s = x_up
-        for _ in range(lvl):
-            s = space_to_depth(s)
+        if (self.s2d_in or self.s2d_out) and lvl == 1:
+            # relayout-free variant: upsample in s2d coordinates; convert at
+            # the block edge only where the neighbor is dense (the s2d at the
+            # INPUT resolution is 4× cheaper than after the resize)
+            s = x if self.s2d_in else space_to_depth(x)
+            s = resize_bilinear_s2d(s, (self.size, self.size), align_corners=True)
+        else:
+            x_up = resize_bilinear(x, (self.size, self.size), align_corners=True)
+            s = x_up
+            for _ in range(lvl):
+                s = space_to_depth(s)
         skip = Conv2dWN(
             self.out_channels, kernel_size=1, padding=0, groups=self.groups,
             name="conv_resize",
@@ -129,6 +148,8 @@ class UpConvBlockDeep(nn.Module):
         )(h, s2d=lvl)
         h = lrelu(h)
         h = h + skip
+        if self.s2d_out and lvl == 1:
+            return h
         for _ in range(lvl):
             h = depth_to_space(h)
         return h

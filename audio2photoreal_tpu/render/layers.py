@@ -503,6 +503,30 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int], align_corners: bool =
     return z.transpose(0, 1, 3, 2)
 
 
+def resize_bilinear_s2d(
+    x_s2d: jnp.ndarray, size: Tuple[int, int], align_corners: bool = False
+) -> jnp.ndarray:
+    """``resize_bilinear`` evaluated entirely in space-to-depth coordinates:
+    [B, H/2, W/2, 4C] → [B, Ho/2, Wo/2, 4C], channel layout (ry, rx, c).
+
+    Same separable 2-tap interpolation, with the static [n_out, n_in]
+    matrices phase-split so neither operand leaves the s2d layout — the
+    decoder tail chains resize → conv → seam → conv without any s2d/d2s
+    relayout passes (measured: each 1024²×32ch relayout costs ~0.5-1 ms/frame
+    at the production batch, see tools/probe_relayout.py)."""
+    B, h, w, CP = x_s2d.shape
+    C = CP // 4
+    Ho, Wo = size
+    if (Ho, Wo) == (2 * h, 2 * w):
+        return x_s2d
+    Ry = _interp_matrix(2 * h, Ho, align_corners).reshape(Ho // 2, 2, h, 2)
+    Rx = _interp_matrix(2 * w, Wo, align_corners).reshape(Wo // 2, 2, w, 2)
+    x6 = x_s2d.reshape(B, h, w, 2, 2, C)
+    y = jnp.einsum("ORiq,biwqxc->bORwxc", jnp.asarray(Ry, x_s2d.dtype), x6)
+    z = jnp.einsum("PSjx,bORjxc->bOPRSc", jnp.asarray(Rx, x_s2d.dtype), y)
+    return z.reshape(B, Ho // 2, Wo // 2, 4 * C)
+
+
 def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     """Depth-to-space, NHWC, matching torch.nn.PixelShuffle channel order."""
     B, H, W, C = x.shape

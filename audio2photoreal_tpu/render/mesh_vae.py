@@ -65,6 +65,12 @@ class RendererConfig:
     # (CalV5 / LearnableBlur / CameraPixelBias, mesh_vae_drivable.py:180-200);
     # 0 = inference-only avatar, no calibration params
     n_cameras: int = 0
+    # keep the decoder tail (lane-bound up blocks → seam → final conv) in
+    # space-to-depth coordinates end-to-end — identical math, no s2d/d2s
+    # relayout passes between stages (each costs ~0.5-1 ms/frame at the
+    # production point, tools/probe_relayout.py).  False = the per-stage
+    # relayout path (exactness baseline for tests)
+    s2d_tail: bool = True
 
 
 class BodyEncoder(nn.Module):
@@ -196,10 +202,28 @@ class ConvDecoder(nn.Module):
         joint = ConvBlock(c.n_init_channels, S0, name="joint_conv_block")(joint)
 
         x = jnp.concatenate([joint, joint], axis=-1)  # 2 groups: verts + tex
+        # the lane-bound tail blocks (≤32 ch/group at ≥256²) run in s2d-1
+        # coordinates END-TO-END — up blocks, seam, and the final fused conv
+        # exchange s2d tensors directly instead of relayouting at each edge
+        in_s2d = False
         for b in range(n_blocks):
-            x = UpConvBlockDeep(n_channels[b + 1] * 2, sizes[b + 1], groups=2, name=f"up{b}")(x)
+            cin_b, cout_b = n_channels[b] * 2, n_channels[b + 1] * 2
+            use = (
+                c.s2d_tail
+                and sizes[b + 1] >= 256
+                and cin_b // 2 <= 32
+                and cout_b // 2 <= 32
+            )
+            x = UpConvBlockDeep(
+                cout_b, sizes[b + 1], groups=2, name=f"up{b}",
+                s2d_in=in_s2d, s2d_out=use,
+            )(x)
+            in_s2d = use
 
-        x = self.seam.fused_apply(x, n_resample=2)
+        if in_s2d:
+            x = self.seam.fused_apply_s2d(x, n_resample=2)
+        else:
+            x = self.seam.fused_apply(x, n_resample=2)
 
         from audio2photoreal_tpu.render.layers import (
             Conv2dWNUB,
@@ -208,18 +232,19 @@ class ConvDecoder(nn.Module):
             space_to_depth,
         )
 
-        half = x.shape[-1] // 2
+        half = (x.shape[-1] // (4 if in_s2d else 1)) // 2
         s2d = c.uv_size >= 256 and half <= 32
         # the two final 3×3 convs run FUSED as one block-diagonal conv on the
         # un-split tensor: splitting [B, S, S, 32] materialises two 512MB
         # halves (plus two s2d copies) — the weights_only path yields each
         # module's normalized kernel while keeping the param tree identical
-        # for the torch converters
+        # for the torch converters.  x[..., :half] is shape inference only
+        # (dead in the graph), so it serves the s2d layout too.
         vw, vb = Conv2dWNUB(3, c.uv_size, c.uv_size, 3, 1, 1, name="verts_conv")(
             x[..., :half], weights_only=True
         )
         tw, tb = Conv2dWNUB(3, c.uv_size, c.uv_size, 3, 1, 1, name="tex_conv")(
-            x[..., half:], weights_only=True
+            x[..., :half], weights_only=True  # same cin as verts; dead code
         )
         wj = jnp.concatenate(
             [
@@ -230,7 +255,8 @@ class ConvDecoder(nn.Module):
         )  # [3, 3, 2·half, 6] block-diagonal
         bj = jnp.concatenate([vb, tb], axis=-1)[None].astype(wj.dtype)
         if s2d:
-            out = conv3x3_s2d(space_to_depth(x.astype(wj.dtype)), wj)
+            xs = x.astype(wj.dtype) if in_s2d else space_to_depth(x.astype(wj.dtype))
+            out = conv3x3_s2d(xs, wj)
             out = depth_to_space(out + space_to_depth(bj))
         else:
             out = jax.lax.conv_general_dilated(

@@ -218,6 +218,40 @@ class SeamSampler:
         t = self.fused_apply_rows(t, B, C, n_resample)
         return from_texel_rows(t, B, H, W, C)
 
+    def _buckets_s2d(self, n_resample: int):
+        """Bucketed tables with every texel index permuted to the row order
+        of the s2d-layout texel-major view [(H/2·W/2)·4, B·C]: texel (y, x)
+        lives at row (⌊y/2⌋·W/2 + ⌊x/2⌋)·4 + ((y&1)·2 | (x&1))."""
+        key = ("buckets_s2d", n_resample)
+        if key in self._fused:
+            return self._fused[key]
+        buckets = self._buckets(n_resample)
+        if not buckets:
+            self._fused[key] = None
+            return None
+        W = self.uv_size
+
+        def perm(idx):
+            y, x = idx // W, idx % W
+            return (((y >> 1) * (W >> 1) + (x >> 1)) << 2) | ((y & 1) << 1) | (x & 1)
+
+        out = [(perm(dst_b), perm(taps_b), ws_b) for dst_b, taps_b, ws_b in buckets]
+        self._fused[key] = out
+        return out
+
+    def fused_apply_s2d(self, x_s2d: jnp.ndarray, n_resample: int = 2) -> jnp.ndarray:
+        """``fused_apply`` on a space-to-depth-layout tensor [B, H/2, W/2, 4C]
+        ((ry, rx, c) channel blocks) without relayout to dense coordinates:
+        the static tap/dst indices are permuted host-side to (s2d-row, phase)
+        order, so only the texel-major transpose remains."""
+        if self.is_empty:
+            return x_s2d
+        B, h, w, CP = x_s2d.shape
+        C = CP // 4
+        t = x_s2d.reshape(B, h * w, 4, C).transpose(1, 2, 0, 3).reshape(h * w * 4, B * C)
+        t = self._apply_buckets(t, B, C, self._buckets_s2d(n_resample))
+        return t.reshape(h * w, 4, B, C).transpose(2, 0, 1, 3).reshape(B, h, w, CP)
+
     def fused_apply_rows(
         self, t: jnp.ndarray, B: int, C: int, n_resample: int = 2
     ) -> jnp.ndarray:
@@ -225,7 +259,9 @@ class SeamSampler:
         array — callers chaining several seam sites (forward_tex's shadow →
         multiply → texture sequence) stay in this layout and pay the
         relayout transposes once."""
-        buckets = self._buckets(n_resample)
+        return self._apply_buckets(t, B, C, self._buckets(n_resample))
+
+    def _apply_buckets(self, t: jnp.ndarray, B: int, C: int, buckets) -> jnp.ndarray:
         if not buckets:
             return t
         outs, dsts = [], []
