@@ -284,7 +284,11 @@ def rasterize_pallas(
     width: int,
     *,
     tile: Tuple[int, int] = (32, 128),
-    chunk: int = 64,  # [chunk, th, tw] f32 temporaries must stay under ~16MB VMEM
+    chunk: int = 16,  # [chunk, th, tw] f32 temporaries must stay under ~16MB VMEM;
+    # measured @B=16/1024x704/9.3k faces (tools/probe_raster_sweep.py):
+    # chunk 64 -> 6.07 ms/frame, 32 -> 2.41, 16 -> 2.03, 8 -> 9.12 (loop
+    # overhead dominates) — finer chunks waste less barycentric math per
+    # binned worklist entry; 16 is the knee
     interpret: bool = False,
     spatial_sort: bool = True,
     face_uv: jnp.ndarray = None,  # [F, 3, 2] → also emit per-pixel UV
