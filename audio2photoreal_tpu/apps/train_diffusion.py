@@ -232,7 +232,7 @@ def main():
                    help="timestep sampler (reference --schedule_sampler: "
                         "uniform | loss-second-moment, resample.py:22-35)")
     p.add_argument("--train_platform_type", default="NoPlatform",
-                   choices=["NoPlatform", "TensorboardPlatform"],
+                   choices=["NoPlatform", "TensorboardPlatform", "ClearmlPlatform"],
                    help="experiment reporter strategy (reference "
                         "train_platforms.py; external trackers subclass "
                         "train.logging.TrainPlatform)")

@@ -123,6 +123,13 @@ class UpConvBlockDeep(nn.Module):
         # the SAME WN layer modules declare the parameters (identical trees /
         # converters); `s2d` runs their conv algebra in s2d coordinates
         lvl = self.s2d_level if self.size >= 4 * 2**self.s2d_level else 1
+        # s2d IO is only defined for level-1 layout: at lvl>1 the else-branch
+        # below would bilinear-resize an s2d-layout tensor as if dense and the
+        # s2d_out early-return would be skipped, silently breaking the
+        # caller's layout tracking
+        assert lvl == 1 or not (self.s2d_in or self.s2d_out), (
+            "s2d_in/s2d_out require s2d_level == 1 at this size"
+        )
         if (self.s2d_in or self.s2d_out) and lvl == 1:
             # relayout-free variant: upsample in s2d coordinates; convert at
             # the block edge only where the neighbor is dense (the s2d at the

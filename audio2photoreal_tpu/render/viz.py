@@ -258,27 +258,43 @@ def resize_to_match(
 
 def make_image_grid_batched(
     data: Dict[str, Array],
-    max_row_hwidth: Optional[int] = None,
+    max_row_height: Optional[int] = None,
     draw_labels: bool = True,
     input_is_in_0_1: bool = False,
 ) -> np.ndarray:
-    """Whole-batch grid: one ROW per dict key, one COLUMN per sample
-    (image.py:743-825)."""
+    """Whole-batch grid matching the reference layout (image.py:743-825):
+    one COLUMN per dict key, one ROW per batch sample.  Every key's panes are
+    resized (aspect-preserved, nearest) so all heights match the largest pane,
+    capped at ``max_row_height`` — samples are never dropped."""
+    from PIL import Image
+
     keys = list(data.keys())
-    rows = []
+    arrs = []
     for k in keys:
         v = _np(data[k]).astype(np.float32)
+        if v.ndim != 4 or v.shape[1] not in (1, 3):
+            raise ValueError(f"image data must be [N,1|3,H,W]; got {v.shape} for {k!r}")
         if v.shape[1] == 1:
             v = np.repeat(v, 3, axis=1)
         if input_is_in_0_1:
             v = v * 255.0
+        arrs.append(v)
+    if not all(a.shape[0] == arrs[0].shape[0] for a in arrs):
+        raise ValueError("batch sizes must be the same")
+
+    target_h = max(a.shape[2] for a in arrs)
+    if max_row_height is not None:
+        target_h = min(target_h, max_row_height)
+    cols = []
+    for k, v in zip(keys, arrs):
         panes = [np.clip(im.transpose(1, 2, 0), 0, 255).astype(np.uint8) for im in v]
-        if max_row_hwidth is not None and len(panes) * panes[0].shape[1] > max_row_hwidth:
-            n_fit = max(1, max_row_hwidth // panes[0].shape[1])
-            panes = panes[:n_fit]
-        row = np.concatenate(panes, axis=1)
+        if panes[0].shape[0] != target_h:
+            w = max(1, round(panes[0].shape[1] * target_h / panes[0].shape[0]))
+            panes = [
+                np.asarray(Image.fromarray(p).resize((w, target_h), Image.NEAREST))
+                for p in panes
+            ]
         if draw_labels:
-            row = add_label_centered(row, k)
-        rows.append(row)
-    rows = resize_to_match(rows, mode="nearest")
-    return np.concatenate(rows, axis=0)
+            panes = [add_label_centered(p, k) for p in panes]
+        cols.append(np.concatenate(panes, axis=0))
+    return np.concatenate(cols, axis=1)

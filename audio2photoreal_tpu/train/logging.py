@@ -132,6 +132,8 @@ class ClearmlPlatform(TrainPlatform):
     and the rest of the framework carries no dependency on it."""
 
     def __init__(self, save_dir: str):
+        if save_dir is None:
+            raise ValueError("ClearmlPlatform requires save_dir")
         from clearml import Task  # not baked into this image; user-installed
 
         super().__init__(save_dir)

@@ -9,13 +9,10 @@ just a sharded batch (parallel/sharding.py) — XLA inserts the gradient psum.
 
 from __future__ import annotations
 
-import time
-from functools import partial
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from audio2photoreal_tpu.core.config import DiffusionConfig
@@ -343,41 +340,3 @@ def make_guide_train_step(
     return step
 
 
-# --------------------------------------------------------------------- #
-# host-side loop
-# --------------------------------------------------------------------- #
-
-
-def run_loop(
-    step_fn,
-    state,
-    batches: Iterable[Dict[str, np.ndarray]],
-    rng: jax.Array,
-    num_steps: int,
-    *,
-    log_every: int = 50,
-    logger=None,
-    save_every: int = 0,
-    save_fn: Optional[Callable[[Any, int], None]] = None,
-    extra_state=None,
-):
-    """Generic epoch-free loop (reference: training_loop.py:133-172).
-
-    ``extra_state`` threads e.g. the VQState through steps that return 3-tuples.
-    """
-    t0 = time.time()
-    it = iter(batches)
-    for i in range(num_steps):
-        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
-        rng, sub = jax.random.split(rng)
-        if extra_state is not None:
-            state, extra_state, metrics = step_fn(state, extra_state, batch, sub)
-        else:
-            state, metrics = step_fn(state, batch, sub)
-        if logger is not None and (i % log_every == 0 or i == num_steps - 1):
-            m = {k: float(v) for k, v in metrics.items()}
-            m["steps_per_sec"] = (i + 1) / (time.time() - t0)
-            logger.log(int(state.step), m)
-        if save_every and save_fn is not None and (i + 1) % save_every == 0:
-            save_fn(state, int(state.step))
-    return (state, extra_state) if extra_state is not None else state

@@ -1,9 +1,13 @@
 """Headline benchmark: seconds of audio converted to motion per wall-clock
 second on one chip (BASELINE.md north star; >1.0 = faster than realtime).
 
-Measures the reference's flagship inference path (sample/generate.py:271-316)
-at its published operating point — guide-transformer keyframe generation +
-body diffusion, DDIM-500 with classifier-free guidance (README.md:249) —
+Measures the reference's FULL flagship inference product
+(sample/generate.py:271-316 + demo/demo.py:113-153) at its published
+operating points — BOTH branches:
+- body: guide-transformer keyframe generation + VQ decode + pose diffusion,
+  DDIM-500 with CFG guidance 2.0 (README.md:249),
+- face: frozen lip-regressor conditioning + face diffusion (512-latent),
+  DDIM-500 with CFG guidance 10.0 (README.md:230) —
 re-architected TPU-first:
 - conditioning (wav2vec + keyframes) encoded ONCE, outside the denoise loop
   (the reference re-encodes per step per CFG branch),
@@ -135,7 +139,41 @@ def main():
     out = ddim_c(params, cond.cond_tokens, cond.pose_tokens, xT, jax.random.PRNGKey(7))
     jax.block_until_ready(out)
 
-    # timed steady-state end-to-end: guide tokens → VQ keyframes → DDIM
+    # stage 4: FACE branch — lip-regressor conditioning encode + face DDIM-500
+    # CFG at guidance 10.0 (reference README.md:230, demo/demo.py:113-153).
+    # 512-latent model, face codes nfeats=256 (utils/model_util.py:49-55).
+    log("bench: compile face conditioning (wav2vec + lip regressor)")
+    fcfg = DenoiserConfig(
+        data_format="face", nfeats=256, latent_dim=512, ff_size=1024,
+        num_layers=8, num_heads=4, max_seq_length=T,
+    )
+    fmodel = FiLMDenoiser(fcfg)
+    xf = jax.random.normal(jax.random.PRNGKey(31), (B, T, fcfg.nfeats))
+    fparams = jax.jit(fmodel.init)({"params": jax.random.PRNGKey(30)}, xf, t0v, audio)
+    jax.block_until_ready(fparams)
+
+    fenc = jax.jit(
+        lambda p, a: fmodel.apply(p, a, method=FiLMDenoiser.encode_conditioning)
+    )
+    fcond = fenc(fparams, audio)
+    jax.block_until_ready(fcond.cond_tokens)
+
+    log("bench: compile face ddim500 scan")
+
+    def fapply_fn(p, xx, tt, cc, keep):
+        return fmodel.apply(p, xx, tt, cc, keep, method=FiLMDenoiser.denoise)
+
+    def fddim(p, cond_tokens, xT, key):
+        mf = cfg_model_fn(fapply_fn, p, CondTokens(cond_tokens, None), guidance_scale=10.0)
+        return sampling.ddim_sample_loop(sched, dcfg.predict, mf, xT, key).pred_xstart
+
+    fddim_c = jax.jit(fddim)
+    xTf = jax.random.normal(jax.random.PRNGKey(32), xf.shape)
+    fout = fddim_c(fparams, fcond.cond_tokens, xTf, jax.random.PRNGKey(33))
+    jax.block_until_ready(fout)
+
+    # timed steady-state end-to-end, both branches of the product:
+    # body: guide tokens → VQ keyframes → pose DDIM; face: lip cond → face DDIM
     log("bench: timing")
     n_runs = 3
     t_start = time.perf_counter()
@@ -144,7 +182,14 @@ def main():
         cond = enc(params, vparams, audio, tokens, kv)
         out = ddim_c(params, cond.cond_tokens, cond.pose_tokens, xT, jax.random.PRNGKey(20 + i))
     jax.block_until_ready((tokens, out))
-    wall = (time.perf_counter() - t_start) / n_runs
+    wall_pose = (time.perf_counter() - t_start) / n_runs
+    t_start = time.perf_counter()
+    for i in range(n_runs):
+        fcond = fenc(fparams, audio)
+        fout = fddim_c(fparams, fcond.cond_tokens, xTf, jax.random.PRNGKey(40 + i))
+    jax.block_until_ready(fout)
+    wall_face = (time.perf_counter() - t_start) / n_runs
+    wall = wall_pose + wall_face
 
     # MFU: achieved FLOPs/s over the whole pipeline vs the chip's bf16 peak
     # (v5e ≈ 197 TFLOP/s); best-effort — cost_analysis may be unavailable
@@ -156,6 +201,8 @@ def main():
             (gen, (gparams, audio, jax.random.PRNGKey(6))),
             (enc, (params, vparams, audio, tokens, kv)),
             (ddim_c, (params, cond.cond_tokens, cond.pose_tokens, xT, jax.random.PRNGKey(7))),
+            (fenc, (fparams, audio)),
+            (fddim_c, (fparams, fcond.cond_tokens, xTf, jax.random.PRNGKey(33))),
         ):
             ca = fn.lower(*args).compile().cost_analysis()
             if isinstance(ca, (list, tuple)):
@@ -168,13 +215,17 @@ def main():
         log(f"bench: cost_analysis unavailable ({type(e).__name__}: {e})")
 
     result = {
-        "metric": "audio_secs_per_wall_sec_pose_ddim500_cfg",
+        "metric": "audio_secs_per_wall_sec_motion_ddim500_cfg",
         "value": round(AUDIO_SECS / wall, 3),
         "unit": "x_realtime",
         "vs_baseline": round(AUDIO_SECS / wall / 1.0, 3),
+        "pose_x_realtime": round(AUDIO_SECS / wall_pose, 3),
+        "face_x_realtime": round(AUDIO_SECS / wall_face, 3),
     }
     if mfu is not None:
-        result["mfu_vs_v5e_bf16_peak"] = round(mfu, 4)
+        # B=1 latency-path utilisation — NOT comparable to train MFU
+        # (VERDICT r3 weak #8: labelled as latency to avoid misreading)
+        result["latency_mfu_vs_v5e_bf16_peak"] = round(mfu, 4)
 
     # stage 4 (optional, BENCH_SKIP_RENDER=1 to skip): steady-state photoreal
     # render FPS on the production display-packed path, and the COMBINED

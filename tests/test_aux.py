@@ -48,7 +48,8 @@ def test_calibration_modules_shapes():
     assert bool(jnp.all(jnp.isfinite(out)))
     pb = CameraPixelBias(4, 16, 16, ds_rate=4)
     p = pb.init(jax.random.PRNGKey(2), cam)
-    assert pb.apply(p, cam).shape == (2, 16, 16, 3)
+    # single-channel broadcast bias, matching the reference's per-camera bias map
+    assert pb.apply(p, cam).shape == (2, 16, 16, 1)
 
 
 def test_loss_second_moment_resampler_warms_up():

@@ -68,7 +68,9 @@ def test_make_image_grid_tensor_and_dict():
         make_image_grid(imgs, grid_size=(1, 2))
 
 
-def test_make_image_grid_batched_rows_are_keys():
+def test_make_image_grid_batched_columns_are_keys():
+    """Reference layout (image.py:743-825): one column per key, one row per
+    batch sample; resize-to-cap never drops samples."""
     from audio2photoreal_tpu.render.viz import make_image_grid_batched
 
     d = {
@@ -76,7 +78,13 @@ def test_make_image_grid_batched_rows_are_keys():
         "b": np.random.RandomState(4).rand(4, 1, 8, 8),
     }
     grid = make_image_grid_batched(d, draw_labels=False, input_is_in_0_1=True)
-    assert grid.shape == (16, 32, 3)
+    assert grid.shape == (32, 16, 3)
+    # mixed sizes resize to the common (capped) height; all 4 samples kept
+    d["c"] = np.random.RandomState(5).rand(4, 3, 16, 16)
+    grid = make_image_grid_batched(
+        d, draw_labels=False, input_is_in_0_1=True, max_row_height=8
+    )
+    assert grid.shape == (32, 24, 3)
 
 
 def test_feature2rgb_shape():
