@@ -23,7 +23,8 @@ from audio2photoreal_tpu.core.config import (
 from audio2photoreal_tpu.data.dataset import SocialDataset, load_local_data
 from audio2photoreal_tpu.diffusion.schedules import make_schedule
 from audio2photoreal_tpu.models.film_transformer import FiLMDenoiser
-from audio2photoreal_tpu.parallel import MeshSpec, create_mesh, shard_batch
+from audio2photoreal_tpu.parallel import MeshSpec, create_mesh
+from audio2photoreal_tpu.parallel import distributed as dist
 from audio2photoreal_tpu.parallel.sharding import replicated
 from audio2photoreal_tpu.train import checkpoints
 from audio2photoreal_tpu.train.logging import KVLogger
@@ -43,10 +44,14 @@ def train(
     platform=None,  # train.logging.TrainPlatform reporter (reference
     # train_platforms.py strategy); None → no external reporting
 ):
-    os.makedirs(save_dir, exist_ok=True)
-    save_config(save_dir, denoiser=mcfg, diffusion=dcfg, data=datacfg, train=tcfg)
-    logger = KVLogger(save_dir, tensorboard=True)
-    if platform is not None:
+    # multi-host: only process 0 writes configs/logs/checkpoints; every
+    # process loads its own 1/process_count slice of the global batch
+    coord = dist.is_coordinator()
+    if coord:
+        os.makedirs(save_dir, exist_ok=True)
+        save_config(save_dir, denoiser=mcfg, diffusion=dcfg, data=datacfg, train=tcfg)
+    logger = KVLogger(save_dir, tensorboard=True) if coord else None
+    if platform is not None and coord:
         platform.report_args(tcfg, name="train_args")
 
     scenes = load_local_data(data_root, datacfg.person)
@@ -57,10 +62,18 @@ def train(
 
     n_dev = len(jax.devices())
     dp = math.gcd(datacfg.batch_size, n_dev)
-    if dp < n_dev:
+    if dp < n_dev and jax.process_count() == 1:
         print(f"batch {datacfg.batch_size} not divisible by {n_dev} devices; using dp={dp}")
         mesh = create_mesh(MeshSpec((dp,), ("data",)), jax.devices()[:dp])
     else:
+        # multi-host: the mesh must span every process's devices (a subset
+        # would leave hosts without addressable shards), so the global batch
+        # must divide the device count
+        if dp < n_dev:
+            raise ValueError(
+                f"global batch {datacfg.batch_size} must divide {n_dev} devices "
+                f"across {jax.process_count()} processes"
+            )
         mesh = create_mesh(MeshSpec(tcfg.mesh_shape, tcfg.mesh_axes))
     model = FiLMDenoiser(mcfg)
     sched = make_schedule(dcfg.schedule, dcfg.steps)
@@ -103,29 +116,13 @@ def train(
     ckpt_dir = os.path.join(save_dir, "ckpt")
 
     def save_fn(state, step):
-        tree = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
-        if state.ema_params is not None:  # EMA must survive resume + sampling
-            tree["ema_params"] = state.ema_params
-        checkpoints.save(ckpt_dir, step, {"state": jax.device_get(tree)})
+        if coord:  # EMA must survive resume + sampling (checkpoints.state_tree)
+            checkpoints.save_train_state(ckpt_dir, step, state)
 
     # resume — restore INTO the fresh state's structure so optax NamedTuple
     # opt-states (and dtypes) survive the orbax round-trip
-    last = checkpoints.latest_step(ckpt_dir)
+    state, _, last = checkpoints.try_resume(ckpt_dir, state)
     if last is not None:
-        target_tree = {
-            "params": jax.device_get(state.params),
-            "opt_state": jax.device_get(state.opt_state),
-            "step": np.zeros((), np.int32),
-        }
-        if state.ema_params is not None:
-            target_tree["ema_params"] = jax.device_get(state.ema_params)
-        restored = checkpoints.restore(ckpt_dir, {"state": target_tree}, last)
-        state = state.replace(
-            params=restored["state"]["params"],
-            opt_state=restored["state"]["opt_state"],
-            step=jnp.asarray(restored["state"]["step"]),
-            ema_params=restored["state"].get("ema_params", state.ema_params),
-        )
         print(f"resumed from step {last}")
 
     # native data plane: windowed C reads + background prefetch — the host
@@ -162,18 +159,26 @@ def train(
             lip_apply,
         )
 
+    # per-process batch slicing: each host samples local_bs windows from its
+    # own process-folded seed stream; shard_batch_global assembles the GLOBAL
+    # batch array over the mesh (parallel/distributed.py)
+    import dataclasses
+
+    local_bs = dist.local_batch_size(datacfg.batch_size)
+    local_datacfg = dataclasses.replace(datacfg, batch_size=local_bs)
     batches = make_train_iterator(
-        data_root, stats, datacfg, seed=tcfg.seed, feature_cache=feature_cache
+        data_root, stats, local_datacfg,
+        seed=dist.per_process_seed(tcfg.seed), feature_cache=feature_cache,
     )
     for i in range(int(state.step), tcfg.num_steps):
-        batch = shard_batch(mesh, next(batches))
+        batch = dist.shard_batch_global(mesh, next(batches))
         # ONE base key for the run; the jitted step folds state.step in —
         # an eager per-step split serializes the loop through the tunnel
         if loss_aware:
             state, metrics, ts_state = step_fn(state, batch, rng, ts_state)
         else:
             state, metrics = step_fn(state, batch, rng)
-        if i % tcfg.log_interval == 0:
+        if i % tcfg.log_interval == 0 and coord:
             kv = {k: float(v) for k, v in metrics.items() if np.isfinite(float(v))}
             logger.log(i, kv)
             if platform is not None:
@@ -182,7 +187,7 @@ def train(
         if (i + 1) % tcfg.save_interval == 0:
             save_fn(state, i + 1)
     save_fn(state, tcfg.num_steps)
-    if platform is not None:
+    if platform is not None and coord:
         platform.close()
     return state
 
@@ -236,7 +241,9 @@ def main():
                    help="experiment reporter strategy (reference "
                         "train_platforms.py; external trackers subclass "
                         "train.logging.TrainPlatform)")
+    dist.add_distributed_args(p)
     args = p.parse_args()
+    dist.initialize_from_args(args)  # before any device query
 
     nfeats = 104 if args.data_format == "pose" else 256
     latent = args.latent_dim or (256 if args.data_format == "pose" else 512)

@@ -32,7 +32,9 @@ def load_tokenizer(vq_dir: str):
     vcfg = load_config(vq_dir)["vq"]
     codec = TemporalVertexCodec(vcfg)
     restored = checkpoints.restore(os.path.join(vq_dir, "ckpt"), None)
-    params = restored["params"]
+    # both payload layouts: pre-self-resume {"params",...} and full-state
+    # {"state": {"params",...},...} (train_vq.py save_payload)
+    params = restored["params"] if "params" in restored else restored["state"]["params"]
     vq = VQState(
         embed=jnp.asarray(restored["vq"]["embed"]),
         embed_avg=jnp.asarray(restored["vq"]["embed_avg"]),
@@ -47,11 +49,17 @@ def train(
     gcfg: GuideConfig, datacfg: DataConfig, tcfg: TrainConfig,
     cache_audio_features: bool = False,
 ):
-    os.makedirs(save_dir, exist_ok=True)
+    from audio2photoreal_tpu.parallel import distributed as dist
+    from audio2photoreal_tpu.parallel.mesh import data_mesh
+    from audio2photoreal_tpu.parallel.sharding import replicated
+
+    coord = dist.is_coordinator()
     codec, vparams, vq, vcfg = load_tokenizer(vq_dir)
     gcfg = GuideConfig(**{**gcfg.__dict__, "tokens": vcfg.code_dim, "vq_depth": vcfg.depth})
-    save_config(save_dir, guide=gcfg, data=datacfg, train=tcfg)
-    logger = KVLogger(save_dir, tensorboard=True)
+    if coord:
+        os.makedirs(save_dir, exist_ok=True)
+        save_config(save_dir, guide=gcfg, data=datacfg, train=tcfg)
+    logger = KVLogger(save_dir, tensorboard=True) if coord else None
 
     scenes = load_local_data(data_root, datacfg.person)
     stats = find_stats(os.path.join(data_root, datacfg.person))
@@ -67,6 +75,10 @@ def train(
         tokens0, jnp.asarray(batch0["audio"]),
     )
     state = create_train_state(params, tcfg)
+    # DP mesh over all devices (all hosts' devices when multi-process): params
+    # replicated, batch dim-0 sharded — XLA inserts the gradient psum
+    mesh = data_mesh(datacfg.batch_size)
+    state = jax.device_put(state, replicated(mesh))
 
     def tokenize(kf):
         return codec.apply(vparams, kf, vq, method=TemporalVertexCodec.encode)
@@ -76,6 +88,11 @@ def train(
     from audio2photoreal_tpu.core import rng as rng_util
 
     rng = rng_util.key(tcfg.seed, tcfg.rng_impl)
+    # self-resume: iteration + model + optimizer, like the reference's
+    # --resume_trans path (train_guide.py:54-62,281-293)
+    state, _, last = checkpoints.try_resume(ckpt_dir, state)
+    if last is not None:
+        print(f"resumed from step {last}")
     from audio2photoreal_tpu.data.loader import make_train_iterator
 
     feature_cache = None
@@ -97,19 +114,26 @@ def train(
             make_frontend_apply(fe, state.params["params"]["audio_frontend"]),
         )
 
+    import dataclasses
+
+    local_datacfg = dataclasses.replace(
+        datacfg, batch_size=dist.local_batch_size(datacfg.batch_size)
+    )
     batches = make_train_iterator(
-        data_root, stats, datacfg, seed=tcfg.seed, feature_cache=feature_cache
+        data_root, stats, local_datacfg,
+        seed=dist.per_process_seed(tcfg.seed), feature_cache=feature_cache,
     )
     keys = ("keyframes", "keyframe_valid", "audio", "audio_features")
-    for i in range(tcfg.num_steps):
+    for i in range(int(state.step), tcfg.num_steps):
         b = next(batches)
-        batch = {k: jnp.asarray(v) for k, v in b.items() if k in keys}
+        batch = dist.shard_batch_global(mesh, {k: v for k, v in b.items() if k in keys})
         state, metrics = step_fn(state, batch, rng)  # step folds state.step
-        if i % tcfg.log_interval == 0:
+        if i % tcfg.log_interval == 0 and coord:
             logger.log(i, {k: float(v) for k, v in metrics.items()})
-        if (i + 1) % tcfg.save_interval == 0:
-            checkpoints.save(ckpt_dir, i + 1, {"params": jax.device_get(state.params)})
-    checkpoints.save(ckpt_dir, tcfg.num_steps, {"params": jax.device_get(state.params)})
+        if (i + 1) % tcfg.save_interval == 0 and coord:
+            checkpoints.save_train_state(ckpt_dir, i + 1, state)
+    if coord:
+        checkpoints.save_train_state(ckpt_dir, tcfg.num_steps, state)
     return state
 
 
@@ -132,7 +156,11 @@ def main():
     p.add_argument("--cache_audio_features", action="store_true",
                    help="precompute frozen wav2vec features per scene "
                         "(data/feature_cache.py) — removes the frontend from every step")
+    from audio2photoreal_tpu.parallel import distributed as dist
+
+    dist.add_distributed_args(p)
     args = p.parse_args()
+    dist.initialize_from_args(args)  # before any device query
 
     gcfg = GuideConfig(
         latent_dim=args.dim, num_layers=args.layers, frontend_dtype=args.frontend_dtype

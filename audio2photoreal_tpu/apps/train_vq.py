@@ -39,9 +39,15 @@ def evaluate(model, params, vq, val_ds, batch_size=8) -> dict:
 
 
 def train(data_root: str, save_dir: str, vcfg: VQConfig, datacfg: DataConfig, tcfg: TrainConfig):
-    os.makedirs(save_dir, exist_ok=True)
-    save_config(save_dir, vq=vcfg, data=datacfg, train=tcfg)
-    logger = KVLogger(save_dir, tensorboard=True)
+    from audio2photoreal_tpu.parallel import distributed as dist
+    from audio2photoreal_tpu.parallel.mesh import data_mesh
+    from audio2photoreal_tpu.parallel.sharding import replicated
+
+    coord = dist.is_coordinator()
+    if coord:
+        os.makedirs(save_dir, exist_ok=True)
+        save_config(save_dir, vq=vcfg, data=datacfg, train=tcfg)
+    logger = KVLogger(save_dir, tensorboard=True) if coord else None
 
     scenes = load_local_data(data_root, datacfg.person)
     stats = find_stats(os.path.join(data_root, datacfg.person))
@@ -54,6 +60,9 @@ def train(data_root: str, save_dir: str, vcfg: VQConfig, datacfg: DataConfig, tc
     vq = VQState.create(jax.random.PRNGKey(0), vcfg)
     params = model.init(jax.random.PRNGKey(1), jnp.asarray(batch0["keyframes"]), vq)
     state = create_train_state(params, tcfg)
+    mesh = data_mesh(datacfg.batch_size)
+    state = jax.device_put(state, replicated(mesh))
+    vq = jax.device_put(vq, replicated(mesh))
     step_fn = jax.jit(make_vq_train_step(model, vcfg.commit_weight))
 
     ckpt_dir = os.path.join(save_dir, "ckpt")
@@ -61,29 +70,61 @@ def train(data_root: str, save_dir: str, vcfg: VQConfig, datacfg: DataConfig, tc
 
     rng = rng_util.key(tcfg.seed, tcfg.rng_impl)
     best = float("inf")
+    # self-resume: net + optimizer + codebook EMA state + best-val marker
+    # (reference train_vq.py:157-165 restores net/optimizer/scheduler)
+    state, extra, last = checkpoints.try_resume(
+        ckpt_dir, state,
+        extra={"vq": jax.device_get(vq)._asdict(), "best": np.zeros((), np.float64)},
+    )
+    if last is not None:
+        vq = VQState(**{k: jnp.asarray(v) for k, v in extra["vq"].items()})
+        best = float(extra["best"]) or float("inf")
+        print(f"resumed from step {last}")
     from audio2photoreal_tpu.data.loader import make_train_iterator
 
-    batches = make_train_iterator(data_root, stats, datacfg, seed=tcfg.seed)
-    for i in range(tcfg.num_steps):
-        batch = {"keyframes": jnp.asarray(next(batches)["keyframes"])}
+    import dataclasses
+
+    local_datacfg = dataclasses.replace(
+        datacfg, batch_size=dist.local_batch_size(datacfg.batch_size)
+    )
+    batches = make_train_iterator(
+        data_root, stats, local_datacfg, seed=dist.per_process_seed(tcfg.seed)
+    )
+
+    def save_payload(step):
+        checkpoints.save_train_state(
+            ckpt_dir, step, state,
+            extra={
+                "vq": jax.device_get(vq)._asdict(),
+                "best": np.float64(0.0 if best == float("inf") else best),
+            },
+        )
+
+    for i in range(int(state.step), tcfg.num_steps):
+        batch = dist.shard_batch_global(
+            mesh, {"keyframes": next(batches)["keyframes"]}
+        )
         state, vq, metrics = step_fn(state, vq, batch, rng)  # step folds state.step
-        if i % tcfg.log_interval == 0:
+        if i % tcfg.log_interval == 0 and coord:
             logger.log(i, {k: float(v) for k, v in metrics.items()})
         if (i + 1) % tcfg.save_interval == 0:
             val = evaluate(model, state.params, vq, val_ds)
-            logger.log(i, val)
-            payload = {
-                "params": jax.device_get(state.params),
-                "vq": jax.device_get(vq)._asdict(),
-            }
-            checkpoints.save(ckpt_dir, i + 1, payload)
+            if coord:
+                logger.log(i, val)
             if val["val_recon"] < best:
                 best = val["val_recon"]
-                checkpoints.save(os.path.join(save_dir, "ckpt_best"), i + 1, payload)
-    checkpoints.save(
-        ckpt_dir, tcfg.num_steps,
-        {"params": jax.device_get(state.params), "vq": jax.device_get(vq)._asdict()},
-    )
+                if coord:
+                    checkpoints.save(
+                        os.path.join(save_dir, "ckpt_best"), i + 1,
+                        {
+                            "params": jax.device_get(state.params),
+                            "vq": jax.device_get(vq)._asdict(),
+                        },
+                    )
+            if coord:
+                save_payload(i + 1)
+    if coord:
+        save_payload(tcfg.num_steps)
     return state, vq
 
 
@@ -100,7 +141,11 @@ def main():
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--save_interval", type=int, default=10_000)
     p.add_argument("--rng_impl", choices=["rbg", "threefry"], default="rbg")
+    from audio2photoreal_tpu.parallel import distributed as dist
+
+    dist.add_distributed_args(p)
     args = p.parse_args()
+    dist.initialize_from_args(args)  # before any device query
 
     vcfg = VQConfig(
         nfeats=104, emb_width=args.output_emb_width, code_dim=args.code_dim, depth=args.depth

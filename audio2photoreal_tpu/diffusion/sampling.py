@@ -132,51 +132,90 @@ def plms_sample_loop(
     model_fn: ModelFn,
     x_T: jnp.ndarray,
     *,
+    order: int = 2,
     clip: Optional[float] = None,
 ) -> SampleResult:
-    """Pseudo linear multi-step (reference: gaussian_diffusion.py:938-1112).
+    """Pseudo linear multi-step (reference: gaussian_diffusion.py:938-1145).
 
-    The eps history lives in the scan carry as a fixed [4, ...] buffer with a
-    step counter selecting the 1st/2nd/3rd/4th-order update — no dynamic
-    Python state, one compile.
+    Reference-faithful for ``order`` 1-4 (its default is 2):
+    - first step with order>1 runs the Pseudo Improved Euler warm-up — a
+      second model eval at ``(mean_pred, t-1)`` averaged into eps
+      (gaussian_diffusion.py:992-1005),
+    - subsequent steps are Adams-Bashforth over the last
+      ``min(order, len(history))`` eps (:1008-1034),
+    - at t == 0 the transition returns pred_xstart itself (:1038-1039).
+
+    The first step is unrolled OUTSIDE the scan (it alone needs two model
+    evals); the remaining T-1 steps scan with the eps history in the carry as
+    a fixed [order-1, ...] buffer — no dynamic Python state, one compile.
     """
+    if not 1 <= order <= 4:
+        raise ValueError("order must be 1-4")
     T = s.num_timesteps
     B = x_T.shape[0]
 
-    def transfer(x, eps, t):
-        abar = extract(s.alphas_cumprod, t, x.ndim)
-        abar_prev = extract(s.alphas_cumprod_prev, t, x.ndim)
-        x0 = (x - jnp.sqrt(1.0 - abar) * eps) / jnp.sqrt(abar)
-        return x0 * jnp.sqrt(abar_prev) + jnp.sqrt(1.0 - abar_prev) * eps
-
-    def get_eps(x, t, t_model):
+    def get_eps(x, i):
+        t, t_model = _step_inputs(s, i, B)
         out = model_fn(x, t_model)
         x0 = gaussian.model_prediction_to_x0(s, predict, out, x, t, clip)
         return gaussian.predict_eps_from_x0(s, x, t, x0), x0
 
-    def body(carry, args):
+    def ab_transfer(x, eps_prime, i):
+        # x_{t-1} from x_t via the eps_prime-consistent x0 (reference
+        # _predict_xstart_from_eps + mean_pred composition)
+        t = jnp.full((B,), i, jnp.int32)
+        abar_prev = extract(s.alphas_cumprod_prev, t, x.ndim)
+        x0p = gaussian.predict_x0_from_eps(s, x, t, eps_prime)
+        return x0p * jnp.sqrt(abar_prev) + jnp.sqrt(1.0 - abar_prev) * eps_prime
+
+    n_hist = max(order - 1, 1)
+
+    def body(carry, i):
         x, hist, n = carry
-        i = args
-        t, t_model = _step_inputs(s, i, B)
-        eps, x0 = get_eps(x, t, t_model)
-
-        # Adams-Bashforth coefficients by available history length
+        eps, x0 = get_eps(x, i)
+        # cur_order = min(order, n + 1) with n previous eps in the buffer;
+        # hist[0] is the most recent
         e0 = eps
-        e1, e2, e3 = hist[0], hist[1], hist[2]
-        eps1 = (3 * e0 - e1) / 2
-        eps2 = (23 * e0 - 16 * e1 + 5 * e2) / 12
-        eps3 = (55 * e0 - 59 * e1 + 37 * e2 - 9 * e3) / 24
-        # n = number of previous eps available (0..3+)
-        eps_prime = jnp.where(
-            n == 0, e0, jnp.where(n == 1, eps1, jnp.where(n == 2, eps2, eps3))
-        )
-        x_next = transfer(x, eps_prime, t)
-        new_hist = jnp.stack([eps, hist[0], hist[1]])
-        return (x_next, new_hist, jnp.minimum(n + 1, 3)), x0
+        e1 = hist[0]
+        e2 = hist[1] if n_hist > 1 else hist[0]
+        e3 = hist[2] if n_hist > 2 else hist[0]
+        by_order = [
+            e0,
+            (3 * e0 - e1) / 2,
+            (23 * e0 - 16 * e1 + 5 * e2) / 12,
+            (55 * e0 - 59 * e1 + 37 * e2 - 9 * e3) / 24,
+        ]
+        cur = jnp.minimum(order - 1, n)
+        eps_prime = by_order[0]
+        for o in range(1, order):
+            eps_prime = jnp.where(cur == o, by_order[o], eps_prime)
+        mean_pred = ab_transfer(x, eps_prime, i)
+        # t == 0: the transition collapses to pred_xstart (:1038-1039)
+        x_next = jnp.where(i > 0, mean_pred, x0)
+        new_hist = jnp.concatenate([eps[None], hist[:-1]], axis=0)
+        return (x_next, new_hist, jnp.minimum(n + 1, order - 1)), x0
 
-    hist0 = jnp.zeros((3,) + x_T.shape, x_T.dtype)
+    # ---- first step (i = T-1), unrolled: Pseudo Improved Euler ------- #
+    i0 = T - 1
+    eps0, x0_first = get_eps(x_T, i0)
+    if order > 1:
+        mean_pred = ab_transfer(x_T, eps0, i0)
+        # second eval at (mean_pred, t-1); at T == 1 the reference would index
+        # t-1 = -1 — excluded by construction (a 1-step PLMS is order 1)
+        eps2, _ = get_eps(mean_pred, max(i0 - 1, 0))
+        eps_prime = (eps0 + eps2) / 2
+        x1 = ab_transfer(x_T, eps_prime, i0)
+    else:
+        x1 = ab_transfer(x_T, eps0, i0)
+    x1 = jnp.where(i0 > 0, x1, x0_first)
+    if T == 1:
+        return SampleResult(sample=x1, pred_xstart=x0_first)
+
+    hist0 = jnp.concatenate(
+        [eps0[None]] + [jnp.zeros_like(eps0)[None]] * (n_hist - 1), axis=0
+    )
     (x_final, _, _), x0s = jax.lax.scan(
-        body, (x_T, hist0, jnp.int32(0)), jnp.arange(T - 1, -1, -1)
+        body, (x1, hist0, jnp.int32(1)), jnp.arange(T - 2, -1, -1)
     )
     return SampleResult(sample=x_final, pred_xstart=x0s[-1])
 

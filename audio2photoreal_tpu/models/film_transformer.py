@@ -54,13 +54,18 @@ class FiLMDenoiser(nn.Module):
     def setup(self):
         c = self.cfg
         D = c.latent_dim
+        cond_dtype = jnp.bfloat16 if c.dtype in ("bf16", "bfloat16") else jnp.float32
         self.audio_frontend = Wav2VecFeatureExtractor(
             compute_dtype=c.frontend_dtype, name="audio_frontend"
         )
         if c.data_format == "face":
             self.lip_model = LipRegressor(name="lip_model")
+            # same compute dtype as the decoder stack — these 2 layers run
+            # over ~1.7 tokens per motion frame and were the face trainer's
+            # largest stage when left at f32 (70 ms of a 546 ms bs-64 step)
             self.cond_encoder = [
                 RotaryEncoderLayer(D, c.num_heads, c.ff_size, c.dropout,
+                                   dtype=cond_dtype,
                                    flash=c.flash_attention, name=f"cond_encoder_{i}")
                 for i in range(c.cond_encoder_layers)
             ]

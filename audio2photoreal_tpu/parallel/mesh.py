@@ -59,3 +59,22 @@ def local_mesh(axes: Tuple[str, ...] = (DATA_AXIS,)) -> Mesh:
     n = len(jax.devices())
     shape = (n,) + (1,) * (len(axes) - 1)
     return create_mesh(MeshSpec(shape, axes))
+
+
+def data_mesh(batch_size: int) -> Mesh:
+    """Data-parallel mesh sized to the batch: all devices when the batch
+    divides evenly, else (single-process only) the largest divisor subset.
+    Multi-process meshes must span every process's devices, so there the
+    batch is required to divide the global device count."""
+    import math
+
+    n_dev = len(jax.devices())
+    dp = math.gcd(batch_size, n_dev)
+    if dp == n_dev:
+        return create_mesh(MeshSpec((n_dev,), (DATA_AXIS,)))
+    if jax.process_count() > 1:
+        raise ValueError(
+            f"global batch {batch_size} must divide {n_dev} devices across "
+            f"{jax.process_count()} processes"
+        )
+    return create_mesh(MeshSpec((dp,), (DATA_AXIS,)), jax.devices()[:dp])

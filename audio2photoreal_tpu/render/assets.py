@@ -217,7 +217,14 @@ def load_renderer_bundle(renderer_dir: str, cfg=None, frame_batch: int = 8, mesh
     else:
         assets = make_synthetic_assets(cfg)
     restored = checkpoints.restore(os.path.join(renderer_dir, "ckpt"), None)
-    params = restored["params"] if "params" in restored else restored
+    # layouts: inference bundle {"params": ...}, avatar-trainer full state
+    # {"state": {"params": ...}} (apps/train_avatar.py), or a bare param tree
+    if "params" in restored:
+        params = restored["params"]
+    elif "state" in restored:
+        params = restored["state"]["params"]
+    else:
+        params = restored
     camf = np.load(os.path.join(renderer_dir, "cameras.npz"), allow_pickle=True)
     cameras = {
         str(n): Camera(campos=camf["campos"][i], K=camf["K"][i], Rt=camf["Rt"][i])

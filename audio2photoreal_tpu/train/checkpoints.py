@@ -72,3 +72,71 @@ def restore(ckpt_dir: str, target: Any, step: Optional[int] = None) -> Any:
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
     return mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+
+# --------------------------------------------------------------------- #
+# full-train-state durability, shared by every trainer
+# --------------------------------------------------------------------- #
+
+
+def state_tree(state) -> Dict[str, Any]:
+    """The durable slice of a train.state.TrainState: params + optimizer +
+    step (+ EMA when present) — what the reference resumes for its trainers
+    (train_guide.py:281-293 model+optim+iteration; train_vq.py:157-165
+    net+optimizer+scheduler; training_loop.py:89-107)."""
+    tree = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    if getattr(state, "ema_params", None) is not None:
+        tree["ema_params"] = state.ema_params
+    return tree
+
+
+def save_train_state(
+    ckpt_dir: str,
+    step: int,
+    state,
+    extra: Optional[Dict[str, Any]] = None,
+    max_to_keep: int = 3,
+    block: bool = False,
+) -> None:
+    """Checkpoint the FULL train state (async).  ``extra`` carries trainer-
+    specific pytrees alongside it (e.g. the VQ codebook EMA state) at the top
+    level, preserving each trainer's published payload keys."""
+    import jax
+
+    tree = {"state": state_tree(state)}
+    if extra:
+        tree.update(extra)
+    save(ckpt_dir, step, jax.device_get(tree), max_to_keep=max_to_keep, block=block)
+
+
+def try_resume(ckpt_dir: str, state, extra: Optional[Dict[str, Any]] = None):
+    """Self-resume: restore the latest checkpoint INTO the structure of a
+    freshly-created state (so optax NamedTuple opt-states and dtypes survive
+    the orbax round-trip).  Returns ``(state, extra, step)`` — unchanged
+    inputs and step None when no checkpoint exists."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    last = latest_step(ckpt_dir)
+    if last is None:
+        return state, extra, None
+    target: Dict[str, Any] = {"state": jax.device_get(state_tree(state))}
+    target["state"]["step"] = np.zeros((), np.int32)
+    if extra:
+        target.update(jax.device_get(extra))
+    restored = restore(ckpt_dir, target, last)
+    st = restored["state"]
+    state = state.replace(
+        params=st["params"],
+        opt_state=st["opt_state"],
+        step=jnp.asarray(st["step"]),
+        **(
+            {"ema_params": st["ema_params"]}
+            if "ema_params" in st
+            else {}
+        ),
+    )
+    if extra:
+        extra = {k: restored[k] for k in extra}
+    return state, extra, last

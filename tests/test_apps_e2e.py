@@ -183,3 +183,49 @@ def test_training_resume(trained):
                     save_interval=4, log_interval=10),
     )
     assert int(state.step) == 4
+
+
+def test_guide_training_resume(trained):
+    """Guide self-resume: iteration + model + optimizer survive a restart
+    (reference train_guide.py:54-62,281-293 --resume_trans role)."""
+    from audio2photoreal_tpu.apps import train_guide
+
+    root = trained
+    dc = DataConfig(person="SYNTH01", data_format="pose", max_seq_length=60,
+                    min_seq_length=60, batch_size=4)
+    gcfg = GuideConfig(latent_dim=16, ff_size=32, num_layers=1, num_heads=2)
+    # the module fixture trained to step 2; continue to 4 — resume must load
+    # step 2 and run exactly 2 more
+    state = train_guide.train(
+        root, f"{root}/guide", f"{root}/vq", gcfg, dc,
+        TrainConfig(save_dir=f"{root}/guide", lr=2e-4, num_steps=4,
+                    save_interval=4, log_interval=10),
+    )
+    assert int(state.step) == 4
+    # the full-state payload still serves sample-time consumers
+    # (generate.BodyPoseGenerator reads state/params from either layout)
+    from audio2photoreal_tpu.train import checkpoints
+
+    restored = checkpoints.restore(f"{root}/guide/ckpt", None)
+    assert "state" in restored and "opt_state" in restored["state"]
+
+
+def test_vq_training_resume(trained):
+    """VQ self-resume: net + optimizer + codebook EMA state survive a restart
+    (reference train_vq.py:157-165); load_tokenizer still reads the payload."""
+    from audio2photoreal_tpu.apps import train_vq
+    from audio2photoreal_tpu.apps.train_guide import load_tokenizer
+
+    root = trained
+    dc = DataConfig(person="SYNTH01", data_format="pose", max_seq_length=60,
+                    min_seq_length=60, batch_size=4)
+    vcfg = VQConfig(nfeats=104, emb_width=8, code_dim=16, depth=2, kmeans_iters=2)
+    state, vq = train_vq.train(
+        root, f"{root}/vq", vcfg, dc,
+        TrainConfig(save_dir=f"{root}/vq", lr=1e-3, num_steps=5,
+                    save_interval=5, log_interval=10),
+    )
+    assert int(state.step) == 5
+    assert bool(vq.inited)  # codebook state restored, not re-kmeans'd
+    codec, params, vq2, _ = load_tokenizer(f"{root}/vq")
+    assert np.allclose(np.asarray(vq2.embed), np.asarray(vq.embed))

@@ -145,6 +145,106 @@ def test_ddim_cfg_loop_matches_reference(monkeypatch):
 
 
 @pytest.mark.slow
+def test_plms_cfg_loop_matches_reference(monkeypatch):
+    """Full PLMS (order-2 default) CFG sampling loop, pose — the last
+    untested sampler family (VERDICT r3 next #7).
+
+    reference call chain: plms_sample_loop_progressive →
+    plms_sample with the Pseudo-Improved-Euler first step (a second model
+    eval at (mean_pred, t-1), gaussian_diffusion.py:992-1005), the
+    Adams-Bashforth-2 steady state (:1008-1034), and the t==0 pred_xstart
+    collapse (:1038-1039); loop returns final['sample'] (:1070-1074)."""
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    import diffusion.gaussian_diffusion as gd
+    from diffusion.respace import SpacedDiffusion, space_timesteps
+    from model.cfg_sampler import ClassifierFreeSampleModel
+    from model.diffusion import FiLMTransformer as RefFiLM
+
+    from audio2photoreal_tpu.core.config import DenoiserConfig
+    from audio2photoreal_tpu.diffusion import sampling
+    from audio2photoreal_tpu.diffusion.respace import maybe_respaced
+    from audio2photoreal_tpu.models.cfg import cfg_model_fn
+    from audio2photoreal_tpu.models.film_transformer import FiLMDenoiser
+    from audio2photoreal_tpu.train.convert import convert_film_denoiser
+
+    torch.manual_seed(3)
+    L, H, FF, NL = 64, 4, 96, 2
+    ref = RefFiLM(
+        _PoseArgs(), nfeats=104, latent_dim=L, ff_size=FF, num_layers=NL,
+        num_heads=H, dropout=0.0, split_type="test", device="cpu",
+    ).eval()
+
+    B, T = 2, 12
+    K = 1
+    rng = np.random.RandomState(17)
+    audio = rng.randn(B, T * 1600, 2).astype(np.float32) * 0.1
+    kf = rng.randn(B, K, 104).astype(np.float32)
+    xT = rng.randn(B, 104, 1, T).astype(np.float32)
+    scale = 2.0
+
+    base_steps, respacing = 100, "10"  # plms respacing is plain stride
+    betas = gd.get_named_beta_schedule("cosine", base_steps, 1.0)
+    diff_t = SpacedDiffusion(
+        use_timesteps=space_timesteps(base_steps, respacing),
+        betas=betas,
+        model_mean_type=gd.ModelMeanType.START_X,
+        model_var_type=gd.ModelVarType.FIXED_SMALL,
+        loss_type=gd.LossType.MSE,
+        rescale_timesteps=False,
+        lambda_vel=0.0,
+        data_format="pose",
+        model_path=None,
+    )
+    cfg_t = ClassifierFreeSampleModel(ref)
+    y = {
+        "audio": torch.as_tensor(audio),
+        "keyframes": torch.as_tensor(kf),
+        "mask": torch.ones(B, 1, 1, T, dtype=torch.bool),
+        "scale": torch.full((B,), scale),
+    }
+    with torch.no_grad():
+        out_t = diff_t.plms_sample_loop(
+            cfg_t,
+            (B, 104, 1, T),
+            clip_denoised=False,
+            model_kwargs={"y": y},
+            noise=torch.as_tensor(xT),
+            order=2,
+        )
+    out_t = to_np(out_t)[:, :, 0, :].transpose(0, 2, 1)  # [B, T, C]
+
+    params = convert_film_denoiser(ref.state_dict(), "pose", NL)
+    cfg = DenoiserConfig(
+        data_format="pose", nfeats=104, latent_dim=L, ff_size=FF,
+        num_layers=NL, num_heads=H, max_seq_length=600, dropout=0.0,
+    )
+    model = FiLMDenoiser(cfg)
+    sched = maybe_respaced("cosine", base_steps, respacing)
+    np.testing.assert_array_equal(
+        np.asarray(sched.timestep_map), np.asarray(diff_t.timestep_map)
+    )
+
+    cond = model.apply(
+        params,
+        jnp.asarray(audio),
+        jnp.asarray(kf),
+        jnp.ones((B, K)),
+        method=FiLMDenoiser.encode_conditioning,
+    )
+
+    def apply_denoise(p, x, t, c, keep):
+        return model.apply(p, x, t, c, keep, method=FiLMDenoiser.denoise)
+
+    model_fn = cfg_model_fn(apply_denoise, params, cond, scale)
+    xT_j = jnp.asarray(xT[:, :, 0, :].transpose(0, 2, 1))  # [B, T, C]
+    res = jax.jit(
+        lambda x: sampling.plms_sample_loop(sched, "xstart", model_fn, x, order=2)
+    )(xT_j)
+    # PLMS is fully deterministic; the loop's return value is final['sample']
+    np.testing.assert_allclose(np.asarray(res.sample), out_t, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
 def test_guide_argmax_decode_matches_reference():
     """Autoregressive decode parity (VERDICT r2 missing #4): with top_p→0 the
     reference's shifted-nucleus construction (guide.py:203-218) degenerates to
