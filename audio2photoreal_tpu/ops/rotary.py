@@ -33,11 +33,13 @@ def make_rotary_table(dim: int, max_len: int, theta: float = 10_000.0) -> Rotary
 
 def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     """(x1, x2) pairs → (-x2, x1), pairwise interleaved
-    (rotary_embedding_torch.py:109-116)."""
-    x1 = x[..., 0::2]
-    x2 = x[..., 1::2]
-    stacked = jnp.stack([-x2, x1], axis=-1)
-    return stacked.reshape(x.shape)
+    (rotary_embedding_torch.py:109-116).
+
+    Implemented as a pair-reshape + stack: identical values to the stride-2
+    slice formulation, but stride-2 lane slices (and their scatter VJPs) run
+    ~25% slower on TPU at [64, 1000, 512] (tools/probe_rotary_enc.py)."""
+    p = x.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2))
+    return jnp.stack([-p[..., 1], p[..., 0]], axis=-1).reshape(x.shape)
 
 
 def apply_rotary(
@@ -56,4 +58,7 @@ def apply_rotary(
         idx = jnp.arange(T) + offset
         cos = table.cos[idx, :D]
         sin = table.sin[idx, :D]
-    return x * cos + _rotate_half(x) * sin
+    # tables follow the carrier dtype: f32 tables on a bf16 stream would
+    # upcast the whole [B, T, D] rotation to f32 (float promotion) — the
+    # projections cast back anyway, so only bf16-rounding-level deviation
+    return x * cos.astype(x.dtype) + _rotate_half(x) * sin.astype(x.dtype)

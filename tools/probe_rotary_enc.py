@@ -79,3 +79,34 @@ chain("ff only", lambda xx: jnp.sum(
 attn_e = MultiHeadAttention(D, H, 0.0, jnp.bfloat16, False)
 chain("attn einsum (no rotary)", lambda xx: jnp.sum(
     attn_e.apply(aparams, xx, xx, xx, None, True)[:, 0, 0]).astype(jnp.float32))
+
+
+# ---- backward variants: where does bwd go pathological? ----
+def g(name, fn):
+    chain(name, lambda xx: jnp.sum(jax.grad(
+        lambda z: jnp.sum(fn(z).astype(jnp.float32))
+    )(xx)[:, 0, 0]).astype(jnp.float32))
+
+
+g("bwd rotate current", lambda z: apply_rotary(z, rot))
+g("bwd rotate reshape-pairs", lambda z: rotate_reshape(z, rot))
+g("bwd attn only", lambda z: attn.apply(aparams, z, z, z, None, True))
+g("bwd attn(rotated) current", lambda z: attn.apply(
+    aparams, apply_rotary(z, rot), apply_rotary(z, rot), z, None, True))
+
+
+def qk_once_f(z):
+    qk = apply_rotary(z, rot)
+    return attn.apply(aparams, qk, qk, z, None, True)
+
+
+g("bwd attn(rotated) qk once", qk_once_f)
+
+
+def qk_once_reshape(z):
+    qk = rotate_reshape(z, rot)
+    return attn.apply(aparams, qk, qk, z, None, True)
+
+
+g("bwd attn(rotated reshape)", qk_once_reshape)
+g("bwd ff only", lambda z: ff.apply(fparams, z, True))
