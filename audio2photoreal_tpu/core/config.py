@@ -74,6 +74,13 @@ class DenoiserConfig:
     # attention-prob dropout in training.  Numerics: bf16-rounding-level vs
     # the einsum path.  Off by default for torch-checkpoint bit-parity runs.
     flash_attention: bool = False
+    # training dropout masks from a fused integer position-hash instead of
+    # materialized RNG-bit tensors (models/blocks.py:hash_drop_mult).  XLA
+    # cannot fuse rng_bit_generator output into consumers, so the ~30 masks
+    # of a bs-64 step cost 21 ms (pose) / 50 ms (face) — the hash masks are
+    # free.  Same Bernoulli(rate) law, deterministic in (step rng, position);
+    # NOT bit-identical to nn.Dropout streams, so off by default.
+    hash_dropout: bool = False
     # dtype of the FROZEN wav2vec conditioning frontend's conv matmuls.
     # float32 (default) is bit-faithful to the reference (the 1e-3
     # inference-parity target); "bfloat16" (f32 accumulation, f32 norms) is

@@ -40,6 +40,63 @@ def exact_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return nn.gelu(x, approximate=False)
 
 
+def _key_to_seed(key: jnp.ndarray) -> jnp.ndarray:
+    """Fold an (already path-folded) PRNG key to ONE uint32 seed without
+    invoking the bit generator."""
+    data = key
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(key)
+    data = data.astype(jnp.uint32).reshape(-1)
+    seed = data[0]
+    for i in range(1, data.shape[0]):
+        seed = jnp.bitwise_xor(seed * jnp.uint32(2654435761), data[i])
+    return seed
+
+
+def hash_drop_mult(key: jnp.ndarray, shape, rate: float, dtype) -> jnp.ndarray:
+    """Bernoulli(1−rate) dropout multiplier from an integer POSITION hash —
+    no RNG-bit tensor is ever materialized.
+
+    XLA cannot fuse ``rng_bit_generator`` output into its consumers, so every
+    ``nn.Dropout`` mask costs a full write+read of random bits: the bs-64
+    denoiser step draws ~30 masks and pays 21 ms (pose) / 50 ms (face) for
+    them (tools/probe_step_split.py, round 4).  This mask is pure fused ALU
+    on an iota — same mixer as the flash kernel's in-kernel dropout
+    (ops/pallas/flash.py:hash_mask_mult), deterministic in (key, position),
+    unbiased, and identical on every replica slice of a sharded tensor."""
+    seed = _key_to_seed(key)
+    n = 1
+    for s in shape:
+        n *= s
+    idx = jax.lax.iota(jnp.uint32, n).reshape(shape)
+    h = seed * jnp.uint32(2654435761) + idx * jnp.uint32(3266489917)
+    h = jnp.bitwise_xor(h, jnp.right_shift(h, jnp.uint32(13))) * jnp.uint32(2654435761)
+    h = jnp.bitwise_xor(h, jnp.right_shift(h, jnp.uint32(17))) * jnp.uint32(668265263)
+    bits = jnp.bitwise_xor(h, jnp.right_shift(h, jnp.uint32(16)))
+    threshold = jnp.uint32(int(rate * 2**32))
+    keep = (bits >= threshold).astype(dtype)
+    return keep / jnp.asarray(1.0 - rate, dtype)
+
+
+class HashDropout(nn.Module):
+    """Drop-in ``nn.Dropout`` replacement backed by ``hash_drop_mult``.
+    Uses the same ``"dropout"`` RNG collection — each call site's
+    path-folded key seeds a distinct mask stream."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if deterministic or self.rate == 0.0:
+            return x
+        key = self.make_rng("dropout")
+        return x * hash_drop_mult(key, x.shape, self.rate, x.dtype)
+
+
+def make_dropout(rate: float, hash_dropout: bool):
+    return HashDropout(rate) if hash_dropout else nn.Dropout(rate)
+
+
 class DenseFiLM(nn.Module):
     """t-vector [B, D] → (scale, shift) each [B, 1, D]."""
 
@@ -146,12 +203,13 @@ class FeedForward(nn.Module):
     dropout: float = 0.1
     activation: Callable = exact_gelu
     dtype: jnp.dtype = jnp.float32
+    hash_dropout: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         h = nn.Dense(self.hidden, dtype=self.dtype, name="linear1")(x)
         h = self.activation(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = make_dropout(self.dropout, self.hash_dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(h)
         return h
 
@@ -171,6 +229,7 @@ class FiLMDecoderLayer(nn.Module):
     use_cm: bool = False  # second cross-attention memory (pose keyframes)
     dtype: jnp.dtype = jnp.float32
     flash: bool = False  # Pallas attention for the un-biased self/cross paths
+    hash_dropout: bool = False  # fused position-hash masks (see hash_drop_mult)
 
     def setup(self):
         D, H = self.dim, self.heads
@@ -186,8 +245,9 @@ class FiLMDecoderLayer(nn.Module):
         self.film1 = DenseFiLM(D, self.dtype, name="film1")
         self.film2 = DenseFiLM(D, self.dtype, name="film2")
         self.film3 = DenseFiLM(D, self.dtype, name="film3")
-        self.ff = FeedForward(D, self.ff_size, self.dropout, dtype=self.dtype, name="ff")
-        self.drop = nn.Dropout(self.dropout)
+        self.ff = FeedForward(D, self.ff_size, self.dropout, dtype=self.dtype,
+                              hash_dropout=self.hash_dropout, name="ff")
+        self.drop = make_dropout(self.dropout, self.hash_dropout)
         if self.use_cm:
             self.cross_attn2 = MultiHeadAttention(D, H, self.dropout, self.dtype, name="cross_attn2")
             self.norm2a = nn.LayerNorm(epsilon=1e-5, name="norm2a", dtype=self.dtype)
@@ -286,6 +346,7 @@ class RotaryEncoderLayer(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     flash: bool = False
+    hash_dropout: bool = False
 
     @nn.compact
     def __call__(
@@ -302,11 +363,12 @@ class RotaryEncoderLayer(nn.Module):
                                self.flash, name="self_attn")(
             qk, qk, h, bias, deterministic
         )
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = make_dropout(self.dropout, self.hash_dropout)(h, deterministic=deterministic)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(x)
-        h = FeedForward(self.dim, self.ff_size, self.dropout, dtype=self.dtype, name="ff")(
+        h = FeedForward(self.dim, self.ff_size, self.dropout, dtype=self.dtype,
+                        hash_dropout=self.hash_dropout, name="ff")(
             h, deterministic
         )
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = make_dropout(self.dropout, self.hash_dropout)(h, deterministic=deterministic)
         return x + h

@@ -66,7 +66,9 @@ class FiLMDenoiser(nn.Module):
             self.cond_encoder = [
                 RotaryEncoderLayer(D, c.num_heads, c.ff_size, c.dropout,
                                    dtype=cond_dtype,
-                                   flash=c.flash_attention, name=f"cond_encoder_{i}")
+                                   flash=c.flash_attention,
+                                   hash_dropout=c.hash_dropout,
+                                   name=f"cond_encoder_{i}")
                 for i in range(c.cond_encoder_layers)
             ]
         self.input_projection = nn.Dense(D, name="input_projection")
@@ -135,6 +137,7 @@ class FiLMDenoiser(nn.Module):
                 use_cm=(c.data_format == "pose"),
                 dtype=compute_dtype,
                 flash=c.flash_attention,
+                hash_dropout=c.hash_dropout,
                 name=f"decoder_{i}",
             )
             for i in range(c.num_layers)

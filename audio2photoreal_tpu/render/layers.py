@@ -244,54 +244,51 @@ def convT4x4s2_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _grouped_conv(x, w, stride: int, padding: int, groups: int) -> jnp.ndarray:
-    """Grouped conv as per-group separate convs.  XLA's TPU lowering of
-    feature_group_count>1 falls off the MXU fast path for these small group
-    counts (the decoder's verts/tex split, groups=2); running the groups as
-    independent convs and concatenating is mathematically identical and
-    keeps each matmul dense."""
+def _block_diag_kernel(w: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Per-group kernel [k, k, cin/g, cout] (groups stacked on cout) → ONE
+    dense block-diagonal kernel [k, k, cin, cout].
+
+    Every small-group lowering measured on this toolchain falls off the MXU
+    fast path: feature_group_count=2 runs 2.31 ms/frame and per-group convs
+    + concat ~2.1 at [16, 512, 512, 128], while the same values as a dense
+    block-diagonal conv run **0.80** (tools/probe_up3_conv_variants.py,
+    round 4).  The extra terms multiply structural zeros, so the outputs are
+    bit-identical for finite inputs — the MXU is idle at these lane-bound
+    shapes and the 2× nominal FLOPs are free."""
     if groups == 1:
-        return jax.lax.conv_general_dilated(
-            x, w,
-            window_strides=(stride, stride),
-            padding=[(padding, padding)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-    cin_g = x.shape[-1] // groups
-    cout_g = w.shape[-1] // groups
-    outs = []
+        return w
+    cg, cout = w.shape[2], w.shape[3]
+    cog = cout // groups
+    blocks = []
     for gi in range(groups):
-        outs.append(
-            jax.lax.conv_general_dilated(
-                x[..., gi * cin_g : (gi + 1) * cin_g],
-                w[..., gi * cout_g : (gi + 1) * cout_g],
-                window_strides=(stride, stride),
-                padding=[(padding, padding)] * 2,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+        wg = w[..., gi * cog : (gi + 1) * cog]
+        blocks.append(
+            jnp.pad(wg, [(0, 0), (0, 0), (gi * cg, (groups - 1 - gi) * cg), (0, 0)])
         )
-    return jnp.concatenate(outs, axis=-1)
+    return jnp.concatenate(blocks, axis=-1)
+
+
+def _grouped_conv(x, w, stride: int, padding: int, groups: int) -> jnp.ndarray:
+    """Grouped conv lowered as ONE dense block-diagonal conv (see
+    ``_block_diag_kernel``)."""
+    return jax.lax.conv_general_dilated(
+        x, _block_diag_kernel(w, groups),
+        window_strides=(stride, stride),
+        padding=[(padding, padding)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
 
 
 def _s2d_grouped(
     x_s2d: jnp.ndarray, w: jnp.ndarray, groups: int, conv_fn, phases: int = 4
 ) -> jnp.ndarray:
-    """Run a per-group s2d conv: the s2d channel layout interleaves
-    (phase, c), so group-split happens on the inner c axis.  ``phases`` is
-    4**level (4 for one s2d application, 16 for two)."""
-    if groups == 1:
-        return conv_fn(x_s2d, w)
-    B, H, W, CP = x_s2d.shape
-    C = CP // phases
-    cg = C // groups
-    xg = x_s2d.reshape(B, H, W, phases, C)
-    outs = []
-    cout_g = w.shape[-1] // groups
-    for gi in range(groups):
-        xi = xg[..., gi * cg : (gi + 1) * cg].reshape(B, H, W, phases * cg)
-        wi = w[..., gi * cout_g : (gi + 1) * cout_g]
-        outs.append(conv_fn(xi, wi).reshape(B, H, W, phases, cout_g))
-    return jnp.concatenate(outs, axis=-1).reshape(B, H, W, phases * cout_g * groups)
+    """Grouped s2d conv: build the dense block-diagonal kernel FIRST (in
+    dense-channel coordinates), then let ``conv_fn`` apply its linear s2d
+    kernel transform — the s2d layout keeps (phase, c) channel interleaving
+    with c spanning both groups, which is exactly the dense kernel's input
+    layout.  ``phases`` is 4**level (kept for call-site compatibility)."""
+    del phases
+    return conv_fn(x_s2d, _block_diag_kernel(w, groups))
 
 
 class Conv2dWN(nn.Module):

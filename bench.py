@@ -289,7 +289,7 @@ def _train_steps_per_sec(data_format: str, B: int = 64, T: int = 600, n_steps: i
         data_format=data_format, nfeats=nfeats,
         latent_dim=256 if pose else 512, ff_size=1024, num_layers=8,
         num_heads=4, max_seq_length=T, dtype="bfloat16", remat=False,
-        flash_attention=True, frontend_dtype="bfloat16",
+        flash_attention=True, frontend_dtype="bfloat16", hash_dropout=True,
     )
     model = FiLMDenoiser(cfg)
     rng = np.random.RandomState(0)

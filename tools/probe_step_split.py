@@ -35,11 +35,12 @@ B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 T, K = 600, 4
 pose = fam == "pose"
 nfeats = 104 if pose else 256
+hash_drop = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
 cfg = DenoiserConfig(
     data_format=fam, nfeats=nfeats, latent_dim=256 if pose else 512,
     ff_size=1024, num_layers=8, num_heads=4, max_seq_length=T,
     dtype="bfloat16", remat=False, flash_attention=True,
-    frontend_dtype="bfloat16",
+    frontend_dtype="bfloat16", hash_dropout=hash_drop,
 )
 rng = np.random.RandomState(0)
 Ta = feature_frames(T * 1600 // 3)
