@@ -54,11 +54,16 @@ NEG_INF = -1e9
 
 
 def _softmax_probs(q, k, bias_row, *, scale, causal, bq, tk, causal_offset):
-    """[bq, Dp] × [Tkp, Dp] → normalized attention probs [bq, Tkp] (f32)."""
+    """[bq, Dp] × [Tkp, Dp] → UNNORMALIZED probs [bq, Tkp] (f32) and their
+    row sums [bq, 1].  Callers divide downstream where it is cheapest (the
+    [bq, Dp] output in the forward, ``do`` in the backward) — normalizing
+    here would spend a full-width VPU pass on the widest tensor in the cell.
+    The logit scale is folded into q ([bq, Dp], 16× narrower than logits)."""
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q * jnp.asarray(scale, q.dtype), k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    logits = logits * scale + bias_row  # bias block [1, Tkp] broadcasts
+    logits = logits + bias_row  # bias block [1, Tkp] broadcasts
     if causal:
         # same alignment as ops/attention.causal_bias: key j attendable when
         # j <= i + (Tk - Tq), positions in UNPADDED coordinates
@@ -68,7 +73,7 @@ def _softmax_probs(q, k, bias_row, *, scale, causal, bq, tk, causal_offset):
         logits = jnp.where(kpos <= qpos + causal_offset, logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
-    return p / jnp.sum(p, axis=-1, keepdims=True)
+    return p, jnp.sum(p, axis=-1, keepdims=True)
 
 
 def _dropout_mult(shape, rate):
@@ -106,14 +111,14 @@ def hash_mask_mult(seed, block_id, shape, rate):
     return keep / (1.0 - rate)
 
 
-def _kernel_dropout(p, seed_ref, rate, impl):
-    """Apply the replayable dropout multiplier inside a kernel cell."""
+def _kernel_dropout_mult(shape, seed_ref, rate, impl):
+    """The replayable dropout multiplier for this kernel cell."""
     block_id = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     if impl == "prng":
         # Mosaic's prng_set_seed takes at most 2 values — fold (i, j) into one
         pltpu.prng_seed(seed_ref[0], block_id)
-        return p * _dropout_mult(p.shape, rate)
-    return p * hash_mask_mult(seed_ref[0], block_id, p.shape, rate)
+        return _dropout_mult(shape, rate)
+    return hash_mask_mult(seed_ref[0], block_id, shape, rate)
 
 
 def _attn_kernel(
@@ -125,19 +130,28 @@ def _attn_kernel(
     q_ref: [1, bq, Dp]   k_ref/v_ref: [1, Tkp, Dp]   bias_ref: [1, 1, Tkp]
     seed_ref: [1] SMEM   o_ref: [1, bq, Dp]
     """
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    p = _softmax_probs(
+    # matmul inputs stay in the carrier dtype (bf16 in production): the MXU's
+    # native mode is low-precision inputs with f32 accumulation — upcasting
+    # q/k/v to f32 first runs the matmuls at the ~4x-slower f32 rate.
+    # Softmax statistics stay f32 (logits accumulate in f32 via
+    # preferred_element_type); probs are cast back to the carrier dtype for
+    # the AV matmul, exactly like standard flash-attention implementations.
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    p, s = _softmax_probs(
         q, k, bias_ref[0], scale=scale, causal=causal, bq=bq, tk=tk,
         causal_offset=causal_offset,
     )
     if dropout_rate > 0.0:
-        p = _kernel_dropout(p, seed_ref, dropout_rate, mask_impl)
+        p = p * _kernel_dropout_mult(p.shape, seed_ref, dropout_rate, mask_impl)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    o_ref[0] = o.astype(o_ref.dtype)
+    # softmax normalization lands on the [bq, Dp] output — 16× narrower than
+    # the probs it replaces a divide over
+    o_ref[0] = (o / s).astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel(
@@ -147,35 +161,44 @@ def _attn_bwd_kernel(
     """Backward cell at (i=batch·head, j=q-block): writes the dq block and
     accumulates dk/dv across the j axis (their output blocks are revisited —
     Pallas keeps them in VMEM while the index map is constant in j)."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    p = _softmax_probs(
+    # same dtype policy as the forward kernel: matmul INPUTS stay in the
+    # carrier dtype (MXU bf16-in/f32-accumulate mode), softmax math in f32.
+    # The softmax row sums never normalize the [bq, Tkp] probs — they divide
+    # ``do`` instead ([bq, Dp], 16× narrower), which factors EXACTLY through
+    # both contractions: dV = (Pᵤ∘M)ᵀ(dO/s) and dS = Pᵤ∘((dO/s)Vᵀ∘M − δ/s)
+    # where Pᵤ are unnormalized probs, s the row sums, M the dropout mult.
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    p_un, s = _softmax_probs(
         q, k, bias_ref[0], scale=scale, causal=causal, bq=bq, tk=tk,
         causal_offset=causal_offset,
     )
+    do_s = (do.astype(jnp.float32) / s).astype(do.dtype)  # [bq, Dp]
     if dropout_rate > 0.0:
         # identical (seed, i·nj+j) stream as the forward kernel → same mask
-        mult = _kernel_dropout(
-            jnp.ones_like(p), seed_ref, dropout_rate, mask_impl
+        mult = _kernel_dropout_mult(
+            p_un.shape, seed_ref, dropout_rate, mask_impl
         )
-        p_used = p * mult  # what the fwd actually multiplied with v
+        p_used = p_un * mult  # what the fwd actually multiplied with v
     else:
         mult = None
-        p_used = p
-    # dV += P_used^T dO ;  dP_used = dO V^T
+        p_used = p_un
+    # dV += (Pᵤ∘M)ᵀ (dO/s) ;  dP̃ = (dO/s) Vᵀ
     dv = jax.lax.dot_general(
-        p_used, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p_used.astype(do.dtype), do_s, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # [Tkp, Dp]
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bq, Tkp]
+        do_s, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, Tkp] — already carries the 1/s row factor
     if mult is not None:
         dp = dp * mult  # chain through the dropout multiplier
-    # softmax backward: dS = P ∘ (dP − rowsum(P ∘ dP))
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = p * (dp - delta)
+    # softmax backward on unnormalized probs: δ = Σ Pᵤ∘dP̃ (the 1/s in dP̃
+    # makes this the true normalized δ); dS = Pᵤ∘(dP̃ − δ/s)
+    delta = jnp.sum(p_un * dp, axis=-1, keepdims=True)
+    ds = (p_un * (dp - delta / s)).astype(q.dtype)
     dq = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -325,10 +348,20 @@ def _xla_reference(q, k, v, kv_valid, causal, dropout_rate=0.0, seed=None):
     )
 
 
-def _resolve(interpret, block_q, Tq):
+def _resolve(interpret, block_q, Tq, Tk):
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    return interpret, min(block_q, max(8, Tq))
+    if block_q is None:
+        # auto: cover the whole Tq in ONE q-block when the kernel's live
+        # [bq, Tkp] f32 temporaries (~5 in the backward cell) stay under
+        # ~10 MB of VMEM — fewer grid cells means less per-cell overhead,
+        # no K/V re-reads, and no dk/dv accumulation revisits.  At the
+        # denoiser's self-attention shape (600×600) this is a single cell
+        # per (batch, head) row; long-Tk shapes keep the proven 256.
+        tq8 = -(-Tq // 8) * 8
+        tkp = max(128, -(-Tk // 128) * 128)
+        block_q = tq8 if tq8 * tkp * 20 <= 10 * 1024 * 1024 else 256
+    return interpret, min(block_q, max(8, -(-Tq // 8) * 8))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
@@ -340,7 +373,7 @@ def flash_attention(
     dropout_seed: Optional[jnp.ndarray] = None,  # int32 [1] (rate > 0 only)
     causal: bool = False,
     dropout_rate: float = 0.0,
-    block_q: int = 256,
+    block_q: Optional[int] = None,  # None → auto (see _resolve)
     interpret: Optional[bool] = None,
     dropout_mask_impl: str = "prng",  # "prng" (TPU hardware) | "hash" (pure jnp)
 ) -> jnp.ndarray:
@@ -354,7 +387,7 @@ def flash_attention(
     [B, H, Tq, Tk] probabilities in HBM.  ``interpret`` defaults to auto:
     compiled on TPU, interpreter elsewhere (CPU tests); the pltpu PRNG is
     TPU-only, so dropout on other backends routes through the einsum path."""
-    interpret, bq = _resolve(interpret, block_q, q.shape[2])
+    interpret, bq = _resolve(interpret, block_q, q.shape[2], k.shape[2])
     if dropout_seed is None:
         dropout_seed = jnp.zeros((1,), jnp.int32)
     if dropout_rate > 0.0 and interpret and dropout_mask_impl == "prng":
@@ -380,7 +413,7 @@ def _fwd(q, k, v, kv_valid, dropout_seed, causal, dropout_rate, block_q, interpr
 
 def _bwd(causal, dropout_rate, block_q, interpret, dropout_mask_impl, res, g):
     q, k, v, kv_valid, dropout_seed = res
-    interp, bq = _resolve(interpret, block_q, q.shape[2])
+    interp, bq = _resolve(interpret, block_q, q.shape[2], k.shape[2])
     if dropout_rate > 0.0 and interp and dropout_mask_impl == "prng":
         _, vjp = jax.vjp(
             lambda q_, k_, v_: _xla_reference(

@@ -26,7 +26,7 @@ print("max abs diff:", float(np.abs(o1 - o2).max()), flush=True)
 K = 8
 for name, f in (("flash", f_flash), ("einsum", f_ref)):
     g = jax.jit(lambda q, k, v: jax.lax.scan(
-        lambda c, i: (jnp.sum(f(q + c * 1e-6, k, v)[0, 0, 0]).astype(jnp.float32), None),
+        lambda c, i: (jnp.sum(f(q + c.astype(q.dtype) * jnp.asarray(1e-6, q.dtype), k, v)[0, 0, 0]).astype(jnp.float32), None),
         jnp.float32(0.0), jnp.arange(K))[0])
     float(g(q, k, v))
     q2 = q + jnp.bfloat16(0.001)
