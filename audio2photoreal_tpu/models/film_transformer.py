@@ -72,7 +72,11 @@ class FiLMDenoiser(nn.Module):
                 for i in range(c.cond_encoder_layers)
             ]
         self.input_projection = nn.Dense(D, name="input_projection")
-        self.cond_projection = nn.Dense(D, name="cond_projection")
+        # compute dtype for the conditioning projection: its input is the
+        # [B, ~2000, 2038] frozen-feature concat — at f32 this one matmul
+        # (plus the gather/concat feeding it) ran 14 ms of the bs-64 face
+        # step (tools/probe_train_stages_face.py)
+        self.cond_projection = nn.Dense(D, dtype=cond_dtype, name="cond_projection")
         self.norm_cond = nn.LayerNorm(epsilon=1e-5, name="norm_cond")
         # time embedding (reference: diffusion.py:120-132)
         self.time_dense = nn.Dense(D * 4, name="time_dense")
@@ -202,13 +206,19 @@ class FiLMDenoiser(nn.Module):
         given ``audio_features == encode_audio(audio)`` the output is
         bit-identical to the raw-audio path."""
         c = self.cfg
+        # frozen features go straight into bf16 consumers (cond_projection
+        # casts its input to cond_dtype anyway) — casting BEFORE the lip
+        # gather and the [B, Ta, 2038] concat halves their HBM traffic with
+        # a bit-identical result (cast∘gather == gather∘cast; concat of
+        # casts == cast of concat)
+        dt = jnp.bfloat16 if c.dtype in ("bf16", "bfloat16") else jnp.float32
         if audio_features is not None:
-            feats = jax.lax.stop_gradient(audio_features)
+            feats = jax.lax.stop_gradient(audio_features).astype(dt)
         else:
-            feats = self.encode_audio(audio)
+            feats = self.encode_audio(audio).astype(dt)
         if c.data_format == "face":
             if lip_verts is not None:
-                v = jax.lax.stop_gradient(lip_verts)
+                v = jax.lax.stop_gradient(lip_verts).astype(dt)
                 T = v.shape[1]
                 n_cond = feats.shape[1]
                 idx = jnp.clip(
@@ -216,7 +226,7 @@ class FiLMDenoiser(nn.Module):
                 )
                 lip = v[:, idx, :]
             else:
-                lip = self.encode_lip(audio, feats.shape[1])
+                lip = self.encode_lip(audio, feats.shape[1]).astype(dt)
             feats = jnp.concatenate([feats, lip], axis=-1)
         cond_tokens = self.cond_projection(feats)
         if c.data_format == "face":

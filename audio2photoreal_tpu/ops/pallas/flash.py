@@ -352,15 +352,21 @@ def _resolve(interpret, block_q, Tq, Tk):
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     if block_q is None:
-        # auto: cover the whole Tq in ONE q-block when the kernel's live
-        # [bq, Tkp] f32 temporaries (~5 in the backward cell) stay under
-        # ~10 MB of VMEM — fewer grid cells means less per-cell overhead,
-        # no K/V re-reads, and no dk/dv accumulation revisits.  At the
-        # denoiser's self-attention shape (600×600) this is a single cell
-        # per (batch, head) row; long-Tk shapes keep the proven 256.
-        tq8 = -(-Tq // 8) * 8
+        # auto: the fewest q-blocks whose live [bq, Tkp] temporaries fit
+        # ~10 MB of VMEM (≈14 B/row·col: three f32 + one bf16 in the widest
+        # backward cell), with bq sized to the actual Tq so padded rows are
+        # minimal.  Fewer grid cells means less per-cell overhead, fewer
+        # K/V re-reads, and fewer dk/dv accumulation revisits: the
+        # 600-frame denoiser self-attention becomes ONE cell per
+        # (batch, head) row, its 600×~2000 cross-attention two cells
+        # (was three at the old fixed 256), the face cond-encoder's
+        # ~2000² self-attention six (was eight).  The forward and backward
+        # grids must agree for the dropout replay, so both use this bound.
+        tq16 = -(-Tq // 16) * 16  # 16-row alignment: bf16 sublane tile
         tkp = max(128, -(-Tk // 128) * 128)
-        block_q = tq8 if tq8 * tkp * 20 <= 10 * 1024 * 1024 else 256
+        bq_max = max(128, (10 * 1024 * 1024 // (14 * tkp)) // 16 * 16)
+        n_blocks = -(-tq16 // min(tq16, bq_max))
+        block_q = -(-(-(-Tq // n_blocks)) // 16) * 16
     return interpret, min(block_q, max(8, -(-Tq // 8) * 8))
 
 

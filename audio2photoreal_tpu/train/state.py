@@ -37,9 +37,31 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+# frozen-frontend module names: the reference never optimizes these
+# (requires_grad=False on wav2vec/lip-regressor params, model/utils.py:18-26,
+# model/diffusion.py:273-280) — their grads here are structurally zero via
+# stop_gradient, but WITHOUT a mask AdamW still reads/writes m, v, and params
+# for all of them every step.  On the face model that is 51.5M of 100.6M
+# params (lip_model 46.2M + audio_frontend 5.25M): ~1.2 GB of pure HBM churn
+# per step plus ~400 MB of dead optimizer state.
+FROZEN_MODULES = ("audio_frontend", "lip_model")
+
+
+def trainable_mask(params) -> Any:
+    """True for leaves the optimizer should update (optax.masked mask)."""
+
+    def _is_trainable(path, _):
+        return not any(
+            str(getattr(p, "key", p)) in FROZEN_MODULES for p in path
+        )
+
+    return jax.tree_util.tree_map_with_path(_is_trainable, params)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW with the reference's linear anneal (training_loop.py:217-222) or
-    warmup, plus optional global-norm clipping (train_guide.py:103-105)."""
+    warmup, plus optional global-norm clipping (train_guide.py:103-105).
+    Frozen frontends are masked out entirely (see FROZEN_MODULES)."""
     if cfg.lr_anneal_steps:
         sched = optax.linear_schedule(cfg.lr, 0.0, cfg.lr_anneal_steps)
     elif cfg.warmup_steps:
@@ -49,7 +71,9 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     chain = []
     if cfg.grad_clip > 0:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip))
-    chain.append(optax.adamw(sched, weight_decay=cfg.weight_decay))
+    chain.append(
+        optax.masked(optax.adamw(sched, weight_decay=cfg.weight_decay), trainable_mask)
+    )
     return optax.chain(*chain)
 
 
