@@ -71,13 +71,19 @@ class FiLMDenoiser(nn.Module):
                                    name=f"cond_encoder_{i}")
                 for i in range(c.cond_encoder_layers)
             ]
-        self.input_projection = nn.Dense(D, name="input_projection")
+        # the residual stream runs in the compute dtype: without an explicit
+        # dtype this Dense outputs f32 and every residual add in the decoder
+        # stack promotes to f32 — at bs 64 that is ~78 MB of extra HBM per
+        # add, ×4 sublayers ×8 layers, in both passes (round-4 probe)
+        self.input_projection = nn.Dense(D, dtype=cond_dtype, name="input_projection")
         # compute dtype for the conditioning projection: its input is the
         # [B, ~2000, 2038] frozen-feature concat — at f32 this one matmul
         # (plus the gather/concat feeding it) ran 14 ms of the bs-64 face
         # step (tools/probe_train_stages_face.py)
         self.cond_projection = nn.Dense(D, dtype=cond_dtype, name="cond_projection")
-        self.norm_cond = nn.LayerNorm(epsilon=1e-5, name="norm_cond")
+        # dtype matters: without it the norm promotes the [B, ~2000, D]
+        # memory to f32 (stats still accumulate f32 inside flax regardless)
+        self.norm_cond = nn.LayerNorm(epsilon=1e-5, dtype=cond_dtype, name="norm_cond")
         # time embedding (reference: diffusion.py:120-132)
         self.time_dense = nn.Dense(D * 4, name="time_dense")
         self.to_time_cond = nn.Dense(D, name="to_time_cond")
@@ -260,14 +266,22 @@ class FiLMDenoiser(nn.Module):
         c = self.cfg
         D = c.latent_dim
         B = x.shape[0]
+        # keep every wide ([B, T|Tm, D]) tensor in the compute dtype: the f32
+        # null embeds / t-tokens would otherwise promote the whole memory
+        # chain (where → concat → norm → per-layer rotate/K/V) to f32
+        dt = jnp.bfloat16 if c.dtype in ("bf16", "bfloat16") else jnp.float32
 
         h = self.input_projection(x)
 
         keep_e = keep_mask[:, None, None]
         cond_tokens = jnp.where(
-            keep_e, cond.cond_tokens, self.null_cond_embed[:, : cond.cond_tokens.shape[1], :]
+            keep_e,
+            cond.cond_tokens.astype(dt),
+            self.null_cond_embed[:, : cond.cond_tokens.shape[1], :].astype(dt),
         )
-        pooled = cond_tokens.mean(axis=-2)
+        # pooled-cond path stays f32 (a ~2000-element bf16 accumulation would
+        # cost real precision; [B, D] is free)
+        pooled = cond_tokens.astype(jnp.float32).mean(axis=-2)
         cond_hidden = self.non_attn_norm(pooled)
         cond_hidden = self.non_attn_d2(nn.silu(self.non_attn_d1(cond_hidden)))
         cond_hidden = jnp.where(keep_mask[:, None], cond_hidden, self.null_cond_hidden)
@@ -275,7 +289,7 @@ class FiLMDenoiser(nn.Module):
         # time conditioning (diffusion.py:383-393)
         t_hidden = mish(self.time_dense(sinusoidal_pos_emb(t, D)))
         t_vec = self.to_time_cond(t_hidden) + cond_hidden
-        t_tokens = self.to_time_tokens(t_hidden).reshape(B, 2, D)
+        t_tokens = self.to_time_tokens(t_hidden).reshape(B, 2, D).astype(dt)
 
         memory = self.norm_cond(jnp.concatenate([cond_tokens, t_tokens], axis=-2))
 
@@ -285,8 +299,8 @@ class FiLMDenoiser(nn.Module):
             keep_p = (keep_mask if keep_mask_pose is None else keep_mask_pose)[:, None, None]
             pose_tokens = jnp.where(
                 keep_p,
-                cond.pose_tokens,
-                self.null_pose_embed[:, : cond.pose_tokens.shape[1], :],
+                cond.pose_tokens.astype(dt),
+                self.null_pose_embed[:, : cond.pose_tokens.shape[1], :].astype(dt),
             )
 
         for layer in self.layers:
