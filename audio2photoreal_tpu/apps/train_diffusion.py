@@ -227,6 +227,13 @@ def main():
                    help="frozen wav2vec frontend matmul dtype; bfloat16 cuts its "
                         "cost ~3x (f32 accumulation, f32 norms; features deviate "
                         "~0.3%% rel from the reference — fine for training)")
+    p.add_argument("--hash_dropout", action="store_true",
+                   help="fused position-hash dropout masks instead of "
+                        "nn.Dropout's rng_bit_generator draws (models/blocks.py "
+                        "hash_drop_mult): same Bernoulli(rate) law, deterministic "
+                        "in (step rng, position), NOT bit-identical streams; cuts "
+                        "~21 ms (pose) / ~50 ms (face) of random-bit HBM traffic "
+                        "per bs-64 step — the config bench.py measures")
     p.add_argument("--cache_audio_features", action="store_true",
                    help="precompute the frozen conditioning frontends once per "
                         "scene and train on feature windows (data/feature_cache.py) "
@@ -258,6 +265,7 @@ def main():
         remat=args.remat,
         flash_attention=args.flash_attention,
         frontend_dtype=args.frontend_dtype,
+        hash_dropout=args.hash_dropout,
     )
     dcfg = DiffusionConfig(lambda_vel=args.lambda_vel)
     datacfg = DataConfig(

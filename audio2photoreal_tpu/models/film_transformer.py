@@ -33,6 +33,7 @@ from audio2photoreal_tpu.models.audio_encoder import Wav2VecFeatureExtractor, fe
 from audio2photoreal_tpu.models.blocks import (
     FiLMDecoderLayer,
     RotaryEncoderLayer,
+    hash_drop_mult,
     mish,
 )
 from audio2photoreal_tpu.models.lip_regressor import LipRegressor
@@ -329,8 +330,14 @@ class FiLMDenoiser(nn.Module):
             y = conv1d(out, kern, b, dilation=d, padding=(0, 0))
             y = nn.leaky_relu(y, negative_slope=0.2)
             if not deterministic:
-                keep = jax.random.bernoulli(self.make_rng("dropout"), 0.8, y.shape)
-                y = y * keep / 0.8
+                # routed through the same dropout policy as the decoder stack:
+                # hash-position masks when cfg.hash_dropout, else RNG draws
+                key = self.make_rng("dropout")
+                if self.cfg.hash_dropout:
+                    y = y * hash_drop_mult(key, y.shape, 0.2, y.dtype)
+                else:
+                    keep = jax.random.bernoulli(key, 0.8, y.shape)
+                    y = y * keep / 0.8
             if out.shape[-1] == y.shape[-1]:
                 out = (out[:, -y.shape[1]:, :] + y) / 2.0
             else:

@@ -231,10 +231,15 @@ class GuideTransformer(nn.Module):
         return buf[:, 1:]
 
 
-def nucleus_sample(key: jax.Array, logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
-    """Top-p sampling matching the reference's shifted-nucleus construction
-    (guide.py:203-218): always keep the argmax, cut where the cumulative
-    probability of STRICTLY-PREVIOUS tokens reaches top_p."""
+def nucleus_probs(logits: jnp.ndarray, top_p: float):
+    """The reference's shifted-nucleus mask construction (guide.py:203-218):
+    sort descending, cumsum, shift-right (so the argmax is ALWAYS kept), zero
+    the tail where the cumulative probability of strictly-previous tokens has
+    reached top_p, renormalize.
+
+    Returns ``(sorted_idx, keep, kept_renorm)`` in sorted order — exposed
+    separately from the sampling draw so the selection LAW is testable on
+    fixed logits (tests/test_topp_ancestral_parity.py)."""
     probs = jax.nn.softmax(logits, axis=-1)
     sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
     sorted_idx = jnp.argsort(probs, axis=-1)[:, ::-1]
@@ -243,5 +248,13 @@ def nucleus_sample(key: jax.Array, logits: jnp.ndarray, top_p: float) -> jnp.nda
     keep = shifted < top_p
     kept = jnp.where(keep, sorted_probs, 0.0)
     kept = kept / kept.sum(axis=-1, keepdims=True)
+    return sorted_idx, keep, kept
+
+
+def nucleus_sample(key: jax.Array, logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Top-p sampling matching the reference's shifted-nucleus construction
+    (guide.py:203-218): always keep the argmax, cut where the cumulative
+    probability of STRICTLY-PREVIOUS tokens reaches top_p."""
+    sorted_idx, _, kept = nucleus_probs(logits, top_p)
     choice = jax.random.categorical(key, jnp.log(kept + 1e-12), axis=-1)
     return jnp.take_along_axis(sorted_idx, choice[:, None], axis=-1)[:, 0]

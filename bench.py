@@ -250,6 +250,12 @@ def main():
     # kernels tally their matmul FLOPs at trace time (ops/pallas/flash.py)
     # and the two counts are summed (VERDICT r2 weak #3/#4).
     if not os.environ.get("BENCH_SKIP_TRAIN"):
+        # the exact trainer CLI equivalent of the benched fast path — every
+        # one of these is a real apps/train_diffusion.py flag
+        result["train_config"] = (
+            "--flash_attention --cache_audio_features --hash_dropout "
+            "--dtype bfloat16 --frontend_dtype bfloat16"
+        )
         # free the inference stages' device buffers first — the bs-64 face
         # step (no-remat + flash) needs nearly the whole 16G HBM
         del params, gparams, vparams, cond, out, xT, tokens, x, audio, kf, kv
