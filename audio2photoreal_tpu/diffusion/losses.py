@@ -98,14 +98,21 @@ def training_losses(
     lambda_vel: float = 0.0,
     var_type: str = "fixed_small",
     with_vb: bool = True,
+    vel_mask: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Per-sample loss dict (reference: gaussian_diffusion.py:1195-1271).
 
     With ``predict == "xstart"`` the MSE target is x0 itself; eps/v targets
     are derived consistently.  ``mask`` is [B, T, 1] valid×non-missing.
+    ``vel_mask`` is the VALIDITY-only mask for the velocity term — the
+    reference masks rot_mse by mask×missing but vel_mse by mask alone
+    (gaussian_diffusion.py:1229-1245); defaults to ``mask`` (they coincide
+    whenever no frames are missing, e.g. the pose stream).
     """
     if mask is None:
         mask = jnp.ones(x0.shape[:2] + (1,), x0.dtype)
+    if vel_mask is None:
+        vel_mask = mask
     if predict == "xstart":
         target = x0
     elif predict == "eps":
@@ -128,7 +135,7 @@ def training_losses(
         pred_x0 = gaussian.model_prediction_to_x0(s, predict, model_out, xt, t)
         vel_t = target[:, 1:] - target[:, :-1] if predict == "xstart" else x0[:, 1:] - x0[:, :-1]
         vel_p = pred_x0[:, 1:] - pred_x0[:, :-1]
-        terms["vel_mse"] = masked_l2(vel_t, vel_p, mask[:, 1:])
+        terms["vel_mse"] = masked_l2(vel_t, vel_p, vel_mask[:, 1:])
     if with_vb:
         # diagnostic only — reference computes it under no_grad
         # (gaussian_diffusion.py:1247-1255)
