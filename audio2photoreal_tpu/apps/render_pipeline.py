@@ -88,6 +88,27 @@ class BodyRenderer:
             )
             return preds["rgb"]
 
+        # the multicam product path decodes each frame ONCE and fans only the
+        # per-camera stages out (decode_frame/render_view split; the decode —
+        # ConvDecoder + face-code translation + shadow — is view-independent,
+        # see mesh_vae.BodyAvatar.decode_frame)
+        _VIEW_KEYS = ("geom", "tex_mean_rec", "shadow_seamed")
+
+        def decode_frames(params, motion, face_codes):
+            geom = assets.lbs.pose(None, motion)
+            preds = self.model.apply(
+                params, motion, geom=geom, face_embs=face_codes,
+                encode=True, use_pose_shadow=True,
+                method=BodyAvatar.decode_frame,
+            )
+            return {k: preds[k] for k in _VIEW_KEYS}
+
+        def render_view(params, decoded, campos, K, Rt):
+            return self.model.apply(
+                params, decoded, campos, K, Rt, render_display=True,
+                method=BodyAvatar.render_view,
+            )["rgb"]
+
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -98,8 +119,20 @@ class BodyRenderer:
                 in_shardings=(rep,) + (shard,) * 5,
                 out_shardings=shard,
             )
+            self._decode = jax.jit(
+                decode_frames,
+                in_shardings=(rep, shard, shard),
+                out_shardings=shard,
+            )
+            self._view = jax.jit(
+                render_view,
+                in_shardings=(rep, shard, shard, shard, shard),
+                out_shardings=shard,
+            )
         else:
             self._render = jax.jit(render_frames)
+            self._decode = jax.jit(decode_frames)
+            self._view = jax.jit(render_view)
 
     def _stack_cams(self):
         cams = list(self.cameras.values())
@@ -140,33 +173,36 @@ class BodyRenderer:
         self, pose: np.ndarray, face_codes: np.ndarray
     ) -> np.ndarray:
         """All-camera side-by-side frames (render_codes.py:115-126: rgb0 and
-        rgb1 concatenated along width).  Batched TPU layout: each jit batch
-        holds frame_batch frames × n_cams rows."""
+        rgb1 concatenated along width).  TPU layout: each jit batch decodes
+        frame_batch frames ONCE (the view-independent ~40% of the frame), then
+        dispatches one render_view per rig camera over the SAME decoded
+        buffers — no frames×cams tiling, no repeated ConvDecoder work."""
         cams_pos, cams_K, cams_Rt = self._stack_cams()
         n_cams = len(cams_pos)
         T = len(pose)
-        fb = max(self.frame_batch // max(n_cams, 1), 1)
+        fb = self.frame_batch
         pad = (-T) % fb
         pose_p = np.concatenate([pose, np.repeat(pose[-1:], pad, 0)], 0)
         face_p = np.concatenate([face_codes, np.repeat(face_codes[-1:], pad, 0)], 0)
         frames = []
         for i in range(0, len(pose_p), fb):
-            m = pose_p[i : i + fb]
-            f = face_p[i : i + fb]
-            B = len(m)
-            # rows: frame-major × cam-minor → [B*n_cams, ...]
-            out = self._render(
-                self.params,
-                jnp.asarray(np.repeat(m, n_cams, 0)),
-                jnp.asarray(np.repeat(f, n_cams, 0)),
-                jnp.asarray(np.tile(cams_pos, (B, 1))),
-                jnp.asarray(np.tile(cams_K, (B, 1, 1))),
-                jnp.asarray(np.tile(cams_Rt, (B, 1, 1))),
-            )
-            out = np.asarray(out, np.uint8)
-            H, W = out.shape[1:3]
-            # [B, n_cams, H, W, 3] → side-by-side along width
-            out = out.reshape(B, n_cams, H, W, 3).transpose(0, 2, 1, 3, 4)
+            m = jnp.asarray(pose_p[i : i + fb])
+            f = jnp.asarray(face_p[i : i + fb])
+            B = m.shape[0]
+            decoded = self._decode(self.params, m, f)
+            views = [
+                self._view(
+                    self.params, decoded,
+                    jnp.asarray(np.tile(cams_pos[c], (B, 1))),
+                    jnp.asarray(np.tile(cams_K[c], (B, 1, 1))),
+                    jnp.asarray(np.tile(cams_Rt[c], (B, 1, 1))),
+                )
+                for c in range(n_cams)
+            ]
+            # [n_cams][B, H, W, 3] → side-by-side along width
+            out = np.stack([np.asarray(v, np.uint8) for v in views], 1)
+            H, W = out.shape[2:4]
+            out = out.transpose(0, 2, 1, 3, 4)
             frames.append(out.reshape(B, H, n_cams * W, 3))
         return np.concatenate(frames, 0)[:T]
 

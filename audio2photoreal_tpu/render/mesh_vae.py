@@ -379,13 +379,25 @@ class BodyAvatar(nn.Module):
         face_enc = self.encoder_face(face_dec["face_geom"], face_dec["face_tex"], noise_key=noise_key)
         return {**enc, **face_enc, "face_dec_preds": face_dec}
 
-    def forward_tex(self, tex_mean_rec, tex_view_rec, shadow_map, final_seam: bool = True):
+    def forward_tex(
+        self,
+        tex_mean_rec,
+        tex_view_rec,
+        shadow_map,
+        final_seam: bool = True,
+        shadow_seamed=None,
+    ):
         """(:230-252): seam fixups → 2k upscale (+pixel-shuffle residual) →
         ×std+mean → shadow multiply → seam fixups.
 
         ``final_seam=False`` skips the last seam pass — the display-packed
         render path applies it in display space instead
-        (SeamSampler.fused_apply_packed), which is ~4× cheaper."""
+        (SeamSampler.fused_apply_packed), which is ~4× cheaper.
+
+        ``shadow_seamed`` short-circuits the shadow's own seam resample —
+        it is VIEW-INDEPENDENT, so the multi-camera product path computes it
+        once per frame in ``decode_frame`` and shares it across cameras
+        (render_codes.py:115-126 renders a 2-camera rig per output frame)."""
         c = self.cfg
         a = self.assets
         x = jnp.concatenate([tex_mean_rec, tex_view_rec], axis=-1)
@@ -396,11 +408,97 @@ class BodyAvatar(nn.Module):
         # ×std+mean in the carrier dtype: f32 constants would upcast the
         # whole 2048² tail (float promotion), tripling its HBM footprint
         tex = tex * jnp.asarray(a.tex_std, tex.dtype) + a.tex_mean[None].astype(tex.dtype)
-        sh = a.seam_2k.fused_apply(shadow_map, n_resample=2)
-        tex = tex * sh.astype(tex.dtype)
+        if shadow_seamed is None:
+            shadow_seamed = a.seam_2k.fused_apply(shadow_map, n_resample=2)
+        tex = tex * shadow_seamed.astype(tex.dtype)
         if final_seam:
             tex = a.seam_2k.fused_apply(tex, n_resample=2)
         return tex
+
+    def decode_frame(
+        self,
+        lbs_motion: jnp.ndarray,  # [B, 104]
+        geom: Optional[jnp.ndarray] = None,  # [B, V, 3] GT posed (encode path)
+        face_embs: Optional[jnp.ndarray] = None,  # HQLP codes [B, 256]
+        embs: Optional[jnp.ndarray] = None,
+        face_embs_body: Optional[jnp.ndarray] = None,
+        encode: bool = True,
+        use_pose_shadow: bool = True,
+        ao: Optional[jnp.ndarray] = None,
+        noise_key=None,
+    ) -> Dict[str, jnp.ndarray]:
+        """The VIEW-INDEPENDENT half of a product frame: encode (face-code
+        translation + body encode), ConvDecoder, LBS pose, shadow, and the
+        shadow's seam resample.  The reference renders every output frame
+        from a per-person 2-camera rig (render_codes.py:115-126: face_embs
+        tiled ×2, rgb0/rgb1 concatenated along width) but all of this work is
+        identical across the rig's cameras — computing it once per frame and
+        fanning out only ``render_view`` is the TPU-first restructuring of
+        that loop.  Returns everything ``render_view`` consumes."""
+        preds: Dict[str, jnp.ndarray] = {}
+        if encode:
+            enc = self.encode(geom, lbs_motion, face_embs, noise_key)
+            embs = enc["embs"]
+            face_embs_body = enc["face_embs"]
+            preds.update(enc)
+        dec = self.decoder(lbs_motion, embs, face_embs_body)
+        geom_rec = self.assets.lbs.pose(dec["geom_delta_rec"], lbs_motion)
+        if use_pose_shadow:
+            shadow = self.pose_to_shadow(lbs_motion)
+        else:
+            shadow = self.shadow_net(ao)
+        shadow_seamed = self.assets.seam_2k.fused_apply(
+            shadow["shadow_map"], n_resample=2
+        )
+        preds.update(geom=geom_rec, shadow_seamed=shadow_seamed, **dec, **shadow)
+        return preds
+
+    def render_view(
+        self,
+        decoded: Dict[str, jnp.ndarray],  # decode_frame output (or a subset)
+        campos: jnp.ndarray,  # [B, 3]
+        K: jnp.ndarray,
+        Rt: jnp.ndarray,
+        render_display: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """The PER-CAMERA half of a product frame: view-conditioned texture
+        residual, texture finalisation, projection, display packing and
+        rasterisation.  ``decoded`` only needs the keys {geom, tex_mean_rec,
+        shadow_seamed}; call once per rig camera over the same decoded
+        batch."""
+        geom_rec = decoded["geom"]
+        dec_view = self.decoder_view(geom_rec, decoded["tex_mean_rec"], campos)
+        tex_rec = self.forward_tex(
+            decoded["tex_mean_rec"],
+            dec_view["tex_view_rec"],
+            None,
+            final_seam=not render_display,
+            shadow_seamed=decoded["shadow_seamed"],
+        )
+        from audio2photoreal_tpu.render.geometry import project_points
+
+        pix, depth = project_points(geom_rec, K, Rt)
+        tex_packed = None
+        if render_display:
+            from audio2photoreal_tpu.ops.gridsample import pack_rgb8
+            from audio2photoreal_tpu.render.color import linear2display_batch
+
+            tex_packed = pack_rgb8(linear2display_batch(tex_rec.astype(jnp.float32)))
+            tex_packed = self.assets.seam_2k.fused_apply_packed(tex_packed, 2)
+        rgb, raster = render_mesh(
+            pix, depth, self.assets.geo.faces, self.assets.geo.uv_coords,
+            self.assets.geo.uv_faces, tex_rec,
+            self.cfg.image_height, self.cfg.image_width,
+            packed_display=render_display,
+            texture_packed=tex_packed,
+        )
+        return {
+            "rgb": rgb,
+            "tex_rec": tex_rec,
+            "depth": raster.depth,
+            "pix_to_face": raster.face_index,
+            **dec_view,
+        }
 
     def __call__(
         self,

