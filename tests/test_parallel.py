@@ -120,3 +120,57 @@ def test_meshed_renderer_matches_single_device():
     # uint8 frames: allow ±1 count differences from fused rounding
     diff = np.abs(f_single.astype(np.int32) - f_sharded.astype(np.int32))
     assert diff.max() <= 1
+
+
+def test_multicam_decode_once_matches_per_cam_renders():
+    """render_sequence_multicam (decode ONCE per frame + render_view per rig
+    camera — the 2-camera product loop, render_codes.py:97-127) must
+    reproduce the per-camera render_sequence outputs (full __call__ path)
+    side-by-side: same math, reordered; ±1 uint8 count for fused rounding."""
+    import jax
+    import numpy as np
+
+    from audio2photoreal_tpu.apps.render_pipeline import BodyRenderer, Camera
+    from audio2photoreal_tpu.render.assets import make_synthetic_assets
+    from audio2photoreal_tpu.render.mesh_vae import BodyAvatar, RendererConfig
+
+    rcfg = RendererConfig(
+        uv_size=64, init_uv_size=16, upscale_size=128, n_embs=32, n_face_embs=256,
+        n_pose_enc_channels=8, n_embs_enc_channels=8, n_init_channels=16,
+        n_min_channels=4, shadow_size=32, view_unet_ftrs=4, encoder_in_size=64,
+        face_tex_size=64, n_face_verts=64, image_height=48, image_width=32,
+    )
+    assets = make_synthetic_assets(rcfg)
+    model = BodyAvatar(rcfg, assets)
+    motion0 = np.zeros((1, 104), np.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        motion0, np.zeros((1, 3), np.float32),
+        geom=assets.lbs.pose(None, motion0),
+        face_embs=np.zeros((1, 256), np.float32),
+    )
+    cams = {
+        "cam0": Camera(
+            campos=np.array([0.0, -3.0, 1.0], np.float32),
+            K=np.array([[40.0, 0, 16], [0, 40.0, 24], [0, 0, 1]], np.float32),
+            Rt=np.array([[1, 0, 0, 0], [0, 0, -1, 1], [0, 1, 0, 3]], np.float32),
+        ),
+        "cam1": Camera(
+            campos=np.array([0.5, -3.0, 1.0], np.float32),
+            K=np.array([[40.0, 0, 16], [0, 40.0, 24], [0, 0, 1]], np.float32),
+            Rt=np.array([[1, 0, 0, -0.5], [0, 0, -1, 1], [0, 1, 0, 3]], np.float32),
+        ),
+    }
+    rng = np.random.RandomState(1)
+    T = 6
+    pose = rng.randn(T, 104).astype(np.float32) * 0.05
+    face = rng.randn(T, 256).astype(np.float32) * 0.05
+
+    r = BodyRenderer(rcfg, assets, params, cams, frame_batch=4)
+    combined = r.render_sequence_multicam(pose, face)
+    assert combined.shape == (T, 48, 2 * 32, 3)
+    for ci, name in enumerate(cams):
+        one = r.render_sequence(pose, face, camera_name=name)
+        half = combined[:, :, ci * 32 : (ci + 1) * 32]
+        diff = np.abs(one.astype(np.int32) - half.astype(np.int32))
+        assert diff.max() <= 1, f"camera {name} deviates by {diff.max()}"
