@@ -91,14 +91,20 @@ class BodyRenderer:
         # the multicam product path decodes each frame ONCE and fans only the
         # per-camera stages out (decode_frame/render_view split; the decode —
         # ConvDecoder + face-code translation + shadow — is view-independent,
-        # see mesh_vae.BodyAvatar.decode_frame)
+        # see mesh_vae.BodyAvatar.decode_frame).  The body encode is HOISTED
+        # entirely: its input is the template for every frame of the driving
+        # mode (BodyAvatar.template_body_embs), so it runs once here instead
+        # of 9.1 ms/frame.
         _VIEW_KEYS = ("geom", "tex_mean_rec", "shadow_seamed")
+        self._template_embs = jax.jit(
+            lambda p: self.model.apply(p, method=BodyAvatar.template_body_embs)
+        )(params)
 
-        def decode_frames(params, motion, face_codes):
-            geom = assets.lbs.pose(None, motion)
+        def decode_frames(params, motion, face_codes, embs1):
+            embs = jnp.broadcast_to(embs1, (motion.shape[0], embs1.shape[-1]))
             preds = self.model.apply(
-                params, motion, geom=geom, face_embs=face_codes,
-                encode=True, use_pose_shadow=True,
+                params, motion, face_embs=face_codes, embs=embs,
+                encode=False, use_pose_shadow=True,
                 method=BodyAvatar.decode_frame,
             )
             return {k: preds[k] for k in _VIEW_KEYS}
@@ -121,7 +127,7 @@ class BodyRenderer:
             )
             self._decode = jax.jit(
                 decode_frames,
-                in_shardings=(rep, shard, shard),
+                in_shardings=(rep, shard, shard, rep),
                 out_shardings=shard,
             )
             self._view = jax.jit(
@@ -189,7 +195,7 @@ class BodyRenderer:
             m = jnp.asarray(pose_p[i : i + fb])
             f = jnp.asarray(face_p[i : i + fb])
             B = m.shape[0]
-            decoded = self._decode(self.params, m, f)
+            decoded = self._decode(self.params, m, f, self._template_embs)
             views = [
                 self._view(
                     self.params, decoded,

@@ -359,6 +359,24 @@ class BodyAvatar(nn.Module):
                 name="pixel_cal",
             )
 
+    def template_body_embs(self) -> jnp.ndarray:
+        """[1, n_embs] body embedding of the TEMPLATE geometry — the constant
+        the per-frame body encode collapses to in the driving/product mode.
+
+        Invariant: the product render loop feeds encode() the LBS-posed
+        template (render_codes.py:107-114 builds geom from lbs_template_verts
+        with the frame's motion) and encode() unposes it with the SAME motion
+        (mesh_vae_drivable.py:254-260) — unpose∘pose of the template is the
+        template up to float roundtrip (~1e-6 vertex coords → sub-LSB rgb;
+        pinned by test_parallel.test_multicam_decode_once_matches_per_cam_renders,
+        which compares the hoisted pipeline against per-frame full-encode
+        renders)."""
+        tv = self.assets.lbs.template_verts
+        if tv.ndim == 2:
+            tv = tv[None]
+        uv = self.assets.geo.to_uv(tv)
+        return self.encoder(uv)["embs"]
+
     def face_codes_to_body_embs(self, face_embs_hqlp: jnp.ndarray) -> jnp.ndarray:
         """HQLP face codes → body-space face embeddings via the frozen face
         decoder + face encoder (the translation the renderer applies to the
@@ -441,6 +459,15 @@ class BodyAvatar(nn.Module):
             embs = enc["embs"]
             face_embs_body = enc["face_embs"]
             preds.update(enc)
+        elif face_embs_body is None and face_embs is not None:
+            # driving mode with the body encode HOISTED: at the product
+            # operating point the geometry fed to encode() is the LBS-posed
+            # template (render_codes.py:107-114), which encode() immediately
+            # unposes back — the body encoder's input is the template for
+            # EVERY frame, so its 9.1 ms/frame (measured, probe_encode_split)
+            # can be computed once (template_body_embs) and passed as `embs`;
+            # only the per-frame face-code translation (1.1 ms) remains.
+            face_embs_body = self.face_codes_to_body_embs(face_embs)
         dec = self.decoder(lbs_motion, embs, face_embs_body)
         geom_rec = self.assets.lbs.pose(dec["geom_delta_rec"], lbs_motion)
         if use_pose_shadow:

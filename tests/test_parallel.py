@@ -124,9 +124,12 @@ def test_meshed_renderer_matches_single_device():
 
 def test_multicam_decode_once_matches_per_cam_renders():
     """render_sequence_multicam (decode ONCE per frame + render_view per rig
-    camera — the 2-camera product loop, render_codes.py:97-127) must
-    reproduce the per-camera render_sequence outputs (full __call__ path)
-    side-by-side: same math, reordered; ±1 uint8 count for fused rounding."""
+    camera — the 2-camera product loop, render_codes.py:97-127, with the
+    body encode HOISTED to the constant template embedding,
+    BodyAvatar.template_body_embs) must reproduce the per-camera
+    render_sequence outputs (full per-frame-encode __call__ path)
+    side-by-side: same math, reordered, plus the unpose∘pose float roundtrip;
+    ±1 uint8 count."""
     import jax
     import numpy as np
 
