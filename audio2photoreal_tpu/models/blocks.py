@@ -264,6 +264,10 @@ class FiLMDecoderLayer(nn.Module):
         self_bias: Optional[jnp.ndarray] = None,
         rotary: Optional[RotaryTable] = None,
         x_offset=0,  # rotary position offset of x (KV-cache decode)
+        cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        # already-projected cross K/V — the denoiser fuses ALL layers' cross
+        # projections over the shared memory stream into two stacked matmuls
+        # (film_transformer.denoise) instead of 2·L re-reads of [B, Tm, D]
     ) -> jnp.ndarray:
         h = self.norm1(x)
         qk = _maybe_rotate(h, rotary, x_offset)
@@ -273,8 +277,11 @@ class FiLMDecoderLayer(nn.Module):
 
         h = self.norm2(x)
         q = _maybe_rotate(h, rotary, x_offset)
-        k = _maybe_rotate(memory, rotary)
-        h = self.cross_attn(q, k, memory, None, deterministic)
+        if cross_kv is not None:
+            h = self.cross_attn.attend(q, cross_kv[0], cross_kv[1], None, deterministic)
+        else:
+            k = _maybe_rotate(memory, rotary)
+            h = self.cross_attn(q, k, memory, None, deterministic)
         h = self.drop(h, deterministic=deterministic)
         x = x + featurewise_affine(h, self.film2(t))
 
