@@ -157,8 +157,17 @@ class MultiHeadAttention(nn.Module):
         bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        B, Tq, _ = q_in.shape
-        q = self.q_proj(q_in)
+        return self._attend_projected(self.q_proj(q_in), k, v, bias, deterministic)
+
+    def _attend_projected(
+        self,
+        q: jnp.ndarray,  # [B, Tq, D] (already projected)
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, Tq, _ = q.shape
         rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
         use_flash = (
             self.flash
@@ -193,6 +202,24 @@ class MultiHeadAttention(nn.Module):
         bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        if q_in is k_in and not self.is_initializing():
+            # SELF-attention fast path: q and k project the SAME tensor (the
+            # pre-projection rotary design rotates q==k together) — run both
+            # as ONE [D, 2D] matmul instead of two reads of the [B, T, D]
+            # stream.  Column blocks of a wider gemm: identical math.
+            dt = self.dtype
+            w = jnp.concatenate(
+                [self.q_proj.variables["params"]["kernel"],
+                 self.k_proj.variables["params"]["kernel"]], axis=-1,
+            ).astype(dt)
+            b = jnp.concatenate(
+                [self.q_proj.variables["params"]["bias"],
+                 self.k_proj.variables["params"]["bias"]], axis=-1,
+            ).astype(dt)
+            qk = q_in.astype(dt) @ w + b
+            q, k = qk[..., : self.dim], qk[..., self.dim :]
+            v = self.v_proj(v_in)
+            return self._attend_projected(q, k, v, bias, deterministic)
         k, v = self.project_kv(k_in, v_in)
         return self.attend(q_in, k, v, bias, deterministic)
 

@@ -10,6 +10,9 @@ Run:  python tools/probe_render_geometry_sweep.py
 """
 
 import itertools
+import sys
+
+sys.path.insert(0, "/root/repo")
 import time
 
 import numpy as np
