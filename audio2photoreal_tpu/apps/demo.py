@@ -25,7 +25,7 @@ from audio2photoreal_tpu.data.dataset import read_wav
 from audio2photoreal_tpu.data.stats import DataStats
 from audio2photoreal_tpu.diffusion import sampling
 from audio2photoreal_tpu.diffusion.respace import maybe_respaced
-from audio2photoreal_tpu.models.cfg import cfg_model_fn
+from audio2photoreal_tpu.models.cfg import cfg_model_fn, cfg_model_fn_cached
 from audio2photoreal_tpu.models.film_transformer import FiLMDenoiser
 from audio2photoreal_tpu.ops.resample import resample
 from audio2photoreal_tpu.train import checkpoints
@@ -107,7 +107,7 @@ class DemoPipeline:
         def apply_fn(p, x, t, c, keep):
             return model.apply(p, x, t, c, keep, method=FiLMDenoiser.denoise)
 
-        mf = cfg_model_fn(apply_fn, params, cond, guidance)
+        mf = cfg_model_fn_cached(model, params, cond, guidance)
         k1, k2 = jax.random.split(key)
         T = audio_n.shape[1] // 1600
         xT = jax.random.normal(k1, (audio_n.shape[0], T, mcfg.nfeats))

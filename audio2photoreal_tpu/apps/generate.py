@@ -34,7 +34,7 @@ from audio2photoreal_tpu.data.dataset import SocialDataset, load_local_data
 from audio2photoreal_tpu.data.stats import DataStats
 from audio2photoreal_tpu.diffusion import sampling
 from audio2photoreal_tpu.diffusion.respace import maybe_respaced
-from audio2photoreal_tpu.models.cfg import cfg_model_fn
+from audio2photoreal_tpu.models.cfg import cfg_model_fn, cfg_model_fn_cached
 from audio2photoreal_tpu.models.film_transformer import FiLMDenoiser
 from audio2photoreal_tpu.models.guide import GuideTransformer
 from audio2photoreal_tpu.models.vqvae import TemporalVertexCodec, VQState
@@ -159,7 +159,9 @@ def generate(
 
     @jax.jit
     def run_ddim(p, cond, xT, key):
-        model_fn = cfg_model_fn(apply_denoise, p, cond, guidance_param)
+        # cached CFG: the conditioning cross-K/V and FiLM vector are computed
+        # once per clip, outside the 500-step scan (cfg.py:cfg_model_fn_cached)
+        model_fn = cfg_model_fn_cached(model, p, cond, guidance_param)
         return sampling.ddim_sample_loop(sched, dcfg.predict, model_fn, xT, key)
 
     all_motions, all_keyframes = [], []

@@ -61,3 +61,55 @@ def cfg_model_fn(
         return u + scale * (c - u)
 
     return model_fn
+
+
+def cfg_model_fn_cached(
+    model,
+    params: Any,
+    cond: CondTokens,
+    guidance_scale: Union[float, jnp.ndarray],
+):
+    """`cfg_model_fn` with the step-invariant conditioning work hoisted OUT
+    of the sampling scan (FiLMDenoiser.build_cond_cache): the keep-masked
+    memory rows, their cross-attn K/V through all layers, the pooled FiLM
+    vector, and the pose tokens are computed ONCE per clip for both CFG
+    branches; each of the 500 DDIM steps projects only the two t-token rows
+    (denoise_cached).  Numerically equivalent to `cfg_model_fn`
+    (test_models::test_cached_cfg_model_fn_matches_uncached)."""
+    from audio2photoreal_tpu.models.film_transformer import FiLMDenoiser
+
+    B = cond.cond_tokens.shape[0]
+    per_sample = not isinstance(guidance_scale, (int, float))
+    if not per_sample and guidance_scale == 1.0:
+        cache = model.apply(
+            params, cond, jnp.ones((B,), bool), method=FiLMDenoiser.build_cond_cache
+        )
+
+        def model_fn(x, t):
+            return model.apply(params, x, t, cache, method=FiLMDenoiser.denoise_cached)
+
+        return model_fn
+
+    cond2 = CondTokens(
+        cond_tokens=jnp.concatenate([cond.cond_tokens] * 2, axis=0),
+        pose_tokens=(
+            jnp.concatenate([cond.pose_tokens] * 2, axis=0)
+            if cond.pose_tokens is not None
+            else None
+        ),
+    )
+    keep2 = jnp.concatenate([jnp.ones((B,), bool), jnp.zeros((B,), bool)])
+    cache = model.apply(params, cond2, keep2, method=FiLMDenoiser.build_cond_cache)
+
+    def model_fn(x, t):
+        Bx = x.shape[0]
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        out = model.apply(params, x2, t2, cache, method=FiLMDenoiser.denoise_cached)
+        c, u = out[:Bx], out[Bx:]
+        scale = jnp.asarray(guidance_scale)
+        if scale.ndim == 1:
+            scale = scale.reshape((-1,) + (1,) * (c.ndim - 1))
+        return u + scale * (c - u)
+
+    return model_fn

@@ -253,6 +253,127 @@ class FiLMDenoiser(nn.Module):
     # per-step denoiser (scan body)
     # ------------------------------------------------------------------ #
 
+    def _stacked_cross_kv_weights(self, dt):
+        """All layers' cross-attn K (resp. V) projection weights stacked into
+        one [D, L·D] kernel + [L·D] bias (run-time view; the param tree stays
+        per-layer for the torch converters)."""
+        kw = jnp.concatenate(
+            [l.cross_attn.k_proj.variables["params"]["kernel"] for l in self.layers],
+            axis=-1,
+        ).astype(dt)
+        kb = jnp.concatenate(
+            [l.cross_attn.k_proj.variables["params"]["bias"] for l in self.layers],
+            axis=-1,
+        ).astype(dt)
+        vw = jnp.concatenate(
+            [l.cross_attn.v_proj.variables["params"]["kernel"] for l in self.layers],
+            axis=-1,
+        ).astype(dt)
+        vb = jnp.concatenate(
+            [l.cross_attn.v_proj.variables["params"]["bias"] for l in self.layers],
+            axis=-1,
+        ).astype(dt)
+        return kw, kb, vw, vb
+
+    def _split_cross_kvs(self, ks, vs):
+        D = self.cfg.latent_dim
+        return [
+            (ks[..., i * D : (i + 1) * D], vs[..., i * D : (i + 1) * D])
+            for i in range(len(self.layers))
+        ]
+
+    def build_cond_cache(self, cond: CondTokens, keep_mask: jnp.ndarray):
+        """Everything in the denoise step that does NOT depend on (x, t):
+        the CFG keep-masked conditioning rows of the memory, their cross-attn
+        K/V through ALL layers, the pooled FiLM vector, and the keep-masked
+        pose tokens.  The reference recomputes all of it in both CFG branches
+        of every one of the 500 DDIM steps (model/cfg_sampler.py:17-33 +
+        model/diffusion.py:338-398); here it is computed ONCE per clip and
+        the per-step work shrinks to the two t-token rows
+        (``denoise_cached``).  Returns a dict pytree safe to close over or
+        pass through jit."""
+        c = self.cfg
+        dt = jnp.bfloat16 if c.dtype in ("bf16", "bfloat16") else jnp.float32
+        keep_e = keep_mask[:, None, None]
+        cond_tokens = jnp.where(
+            keep_e,
+            cond.cond_tokens.astype(dt),
+            self.null_cond_embed[:, : cond.cond_tokens.shape[1], :].astype(dt),
+        )
+        pooled = cond_tokens.astype(jnp.float32).mean(axis=-2)
+        cond_hidden = self.non_attn_norm(pooled)
+        cond_hidden = self.non_attn_d2(nn.silu(self.non_attn_d1(cond_hidden)))
+        cond_hidden = jnp.where(keep_mask[:, None], cond_hidden, self.null_cond_hidden)
+
+        # LayerNorm is row-wise, so norming the conditioning rows alone equals
+        # their rows in norm_cond(concat([cond_tokens, t_tokens]))
+        mem_cond = self.norm_cond(cond_tokens)
+        rot = self.rotary if c.use_rotary else None
+        from audio2photoreal_tpu.ops.rotary import apply_rotary
+
+        mem_rot = apply_rotary(mem_cond, rot, 0) if rot is not None else mem_cond
+        kw, kb, vw, vb = self._stacked_cross_kv_weights(dt)
+        ks = mem_rot.astype(dt) @ kw + kb  # [B, Tm_cond, L·D]
+        vs = mem_cond.astype(dt) @ vw + vb
+
+        pose_tokens = None
+        if c.data_format == "pose":
+            assert cond.pose_tokens is not None
+            pose_tokens = jnp.where(
+                keep_e,
+                cond.pose_tokens.astype(dt),
+                self.null_pose_embed[:, : cond.pose_tokens.shape[1], :].astype(dt),
+            )
+        return {
+            "ks": ks,
+            "vs": vs,
+            "cond_hidden": cond_hidden,
+            "pose_tokens": pose_tokens,
+            "n_cond": cond_tokens.shape[1],
+        }
+
+    def denoise_cached(
+        self,
+        x: jnp.ndarray,  # [B, T, nfeats]
+        t: jnp.ndarray,  # [B] int32
+        cache,  # build_cond_cache output
+    ) -> jnp.ndarray:
+        """The (x, t)-dependent remainder of ``denoise`` against a
+        ``build_cond_cache`` result — per step only the two t-token rows are
+        normed, rotated, and projected.  Deterministic (sampling) path only;
+        numerically identical to ``denoise`` (same ops, reordered;
+        test_models::test_cached_cfg_model_fn_matches_uncached)."""
+        c = self.cfg
+        D = c.latent_dim
+        B = x.shape[0]
+        dt = jnp.bfloat16 if c.dtype in ("bf16", "bfloat16") else jnp.float32
+
+        h = self.input_projection(x)
+        t_hidden = mish(self.time_dense(sinusoidal_pos_emb(t, D)))
+        t_vec = self.to_time_cond(t_hidden) + cache["cond_hidden"]
+        t_tokens = self.to_time_tokens(t_hidden).reshape(B, 2, D).astype(dt)
+
+        mem_t = self.norm_cond(t_tokens)
+        rot = self.rotary if c.use_rotary else None
+        from audio2photoreal_tpu.ops.rotary import apply_rotary
+
+        n_cond = cache["n_cond"]
+        mem_t_rot = apply_rotary(mem_t, rot, n_cond) if rot is not None else mem_t
+        kw, kb, vw, vb = self._stacked_cross_kv_weights(dt)
+        ks = jnp.concatenate([cache["ks"], mem_t_rot.astype(dt) @ kw + kb], axis=1)
+        vs = jnp.concatenate([cache["vs"], mem_t.astype(dt) @ vw + vb], axis=1)
+        cross_kvs = self._split_cross_kvs(ks, vs)
+
+        for i, layer in enumerate(self.layers):
+            h = layer(
+                h, None, t_vec, True,
+                memory2=cache["pose_tokens"], rotary=rot, cross_kv=cross_kvs[i],
+            )
+        out = self.final_layer(h)
+        if c.data_format == "pose":
+            out = self._postnet(out, True)
+        return out
+
     def denoise(
         self,
         x: jnp.ndarray,  # [B, T, nfeats] noisy motion
@@ -320,29 +441,10 @@ class FiLMDenoiser(nn.Module):
             from audio2photoreal_tpu.ops.rotary import apply_rotary
 
             mem_rot = apply_rotary(memory, rot, 0) if rot is not None else memory
-            L = len(self.layers)
-            kw = jnp.concatenate(
-                [l.cross_attn.k_proj.variables["params"]["kernel"] for l in self.layers],
-                axis=-1,
-            ).astype(dt)
-            kb = jnp.concatenate(
-                [l.cross_attn.k_proj.variables["params"]["bias"] for l in self.layers],
-                axis=-1,
-            ).astype(dt)
-            vw = jnp.concatenate(
-                [l.cross_attn.v_proj.variables["params"]["kernel"] for l in self.layers],
-                axis=-1,
-            ).astype(dt)
-            vb = jnp.concatenate(
-                [l.cross_attn.v_proj.variables["params"]["bias"] for l in self.layers],
-                axis=-1,
-            ).astype(dt)
+            kw, kb, vw, vb = self._stacked_cross_kv_weights(dt)
             ks = mem_rot.astype(dt) @ kw + kb  # [B, Tm, L·D]
             vs = memory.astype(dt) @ vw + vb
-            cross_kvs = [
-                (ks[..., i * D : (i + 1) * D], vs[..., i * D : (i + 1) * D])
-                for i in range(L)
-            ]
+            cross_kvs = self._split_cross_kvs(ks, vs)
 
         for i, layer in enumerate(self.layers):
             if cross_kvs is not None:

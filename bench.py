@@ -50,7 +50,7 @@ def main():
     )
     from audio2photoreal_tpu.diffusion import sampling
     from audio2photoreal_tpu.diffusion.respace import maybe_respaced
-    from audio2photoreal_tpu.models.cfg import cfg_model_fn
+    from audio2photoreal_tpu.models.cfg import cfg_model_fn_cached
     from audio2photoreal_tpu.models.film_transformer import CondTokens, FiLMDenoiser
     from audio2photoreal_tpu.models.guide import GuideTransformer
     from audio2photoreal_tpu.models.vqvae import TemporalVertexCodec, VQState
@@ -131,7 +131,7 @@ def main():
 
     def ddim(p, cond_tokens, pose_tokens, xT, key):
         cond_ = CondTokens(cond_tokens, pose_tokens)
-        mf = cfg_model_fn(apply_fn, p, cond_, guidance_scale=2.0)
+        mf = cfg_model_fn_cached(model, p, cond_, guidance_scale=2.0)
         return sampling.ddim_sample_loop(sched, dcfg.predict, mf, xT, key).pred_xstart
 
     ddim_c = jax.jit(ddim)
@@ -164,7 +164,7 @@ def main():
         return fmodel.apply(p, xx, tt, cc, keep, method=FiLMDenoiser.denoise)
 
     def fddim(p, cond_tokens, xT, key):
-        mf = cfg_model_fn(fapply_fn, p, CondTokens(cond_tokens, None), guidance_scale=10.0)
+        mf = cfg_model_fn_cached(fmodel, p, CondTokens(cond_tokens, None), guidance_scale=10.0)
         return sampling.ddim_sample_loop(sched, dcfg.predict, mf, xT, key).pred_xstart
 
     fddim_c = jax.jit(fddim)

@@ -227,3 +227,47 @@ def test_vqvae_ema_moves_toward_data():
     _, _, _, _, vq2 = model.apply(params, motion, vq1, train=True, key=jax.random.PRNGKey(4))
     # cluster sizes updated by EMA
     assert not np.allclose(np.asarray(vq1.cluster_size), np.asarray(vq2.cluster_size))
+
+
+def test_cached_cfg_model_fn_matches_uncached():
+    """cfg_model_fn_cached hoists the step-invariant conditioning work (memory
+    rows, their fused cross-K/V, pooled FiLM vector, pose tokens) out of the
+    sampling scan; per step only the two t-token rows are projected.  Must
+    equal the uncached cfg_model_fn to float tolerance on both model
+    families and both guidance modes."""
+    from audio2photoreal_tpu.models.cfg import cfg_model_fn, cfg_model_fn_cached
+
+    for fmt, nfeats in (("pose", 16), ("face", 12)):
+        cfg = DenoiserConfig(
+            data_format=fmt, nfeats=nfeats, latent_dim=32, ff_size=48,
+            num_layers=2, num_heads=2, max_seq_length=24, keyframe_step=6,
+            dropout=0.0,
+        )
+        model = FiLMDenoiser(cfg)
+        B, T = 2, 24
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, T, nfeats))
+        t = jnp.asarray([3, 7], jnp.int32)
+        audio = jax.random.normal(jax.random.PRNGKey(1), (B, T * 1600, 2)) * 0.1
+        init_args = [x, jnp.zeros((B,), jnp.int32), audio]
+        enc_args = [audio]
+        if fmt == "pose":
+            kf = jax.random.normal(jax.random.PRNGKey(2), (B, 4, 104))
+            kv = jnp.ones((B, 4))
+            init_args += [kf, kv]
+            enc_args += [kf, kv]
+        params = model.init(
+            {"params": jax.random.PRNGKey(3), "cond_drop": jax.random.PRNGKey(4)},
+            *init_args,
+        )
+        cond = model.apply(params, *enc_args, method=FiLMDenoiser.encode_conditioning)
+
+        def apply_denoise(p, xx, tt, cc, keep):
+            return model.apply(p, xx, tt, cc, keep, method=FiLMDenoiser.denoise)
+
+        for scale in (1.0, 2.5):
+            ref = cfg_model_fn(apply_denoise, params, cond, scale)(x, t)
+            got = cfg_model_fn_cached(model, params, cond, scale)(x, t)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5,
+                err_msg=f"{fmt}, scale={scale}",
+            )
