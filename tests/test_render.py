@@ -419,3 +419,35 @@ def test_linear2display_batch_range():
     img = jnp.asarray(np.random.RandomState(5).rand(1, 4, 4, 3) * 255)
     out = linear2display_batch(img)
     assert float(out.min()) >= 0.0 and float(out.max()) <= 255.0
+
+
+def test_finalize_display_packed_matches_composed_ops():
+    """One-pass Pallas texture finalisation (ops/pallas/display_pack) vs the
+    composed XLA ops it replaces: ×std+mean → ×shadow → display transform →
+    RGB8 pack, all in f32.  On CPU the kernel runs in interpreter mode (the
+    same jnp ops) — bytes must match exactly; on TPU the measured deviation
+    is ≤1 count for ≥99.99% of texels with a ~3e-6 tail at ±2-3 in
+    near-black (Mosaic pow ULP), asserted loosely enough to hold on both."""
+    import numpy as np
+
+    from audio2photoreal_tpu.ops.gridsample import pack_rgb8
+    from audio2photoreal_tpu.ops.pallas.display_pack import finalize_display_packed
+    from audio2photoreal_tpu.render.color import linear2display_batch
+
+    B, H, W = 2, 256, 256
+    rng = np.random.RandomState(0)
+    tex = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32) * 0.3)
+    sh = jnp.asarray(rng.rand(B, H, W, 1).astype(np.float32))
+    mean = jnp.asarray(rng.rand(H, W, 3).astype(np.float32) * 200.0)
+    std = 35.0
+
+    t = tex * std + mean[None]
+    t = t * sh
+    ref = np.asarray(pack_rgb8(linear2display_batch(t)))
+    got = np.asarray(finalize_display_packed(tex, sh, mean, std, block_h=64))
+
+    rr = np.stack([(ref >> s) & 0xFF for s in (0, 8, 16)], -1).astype(np.int32)
+    kk = np.stack([(got >> s) & 0xFF for s in (0, 8, 16)], -1).astype(np.int32)
+    d = np.abs(rr - kk)
+    assert (d <= 1).mean() > 0.9999, f"frac>1 = {(d > 1).mean()}"
+    assert d.max() <= 3, f"max channel diff {d.max()}"
