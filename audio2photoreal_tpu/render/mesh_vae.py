@@ -404,7 +404,6 @@ class BodyAvatar(nn.Module):
         shadow_map,
         final_seam: bool = True,
         shadow_seamed=None,
-        finalize: bool = True,
     ):
         """(:230-252): seam fixups → 2k upscale (+pixel-shuffle residual) →
         ×std+mean → shadow multiply → seam fixups.
@@ -416,13 +415,7 @@ class BodyAvatar(nn.Module):
         ``shadow_seamed`` short-circuits the shadow's own seam resample —
         it is VIEW-INDEPENDENT, so the multi-camera product path computes it
         once per frame in ``decode_frame`` and shares it across cameras
-        (render_codes.py:115-126 renders a 2-camera rig per output frame).
-
-        ``finalize=False`` stops after the upscale residual and returns the
-        RAW texture (before ×std+mean and the shadow multiply) — the
-        display-packed render path finishes those inside ONE Pallas pass
-        together with the display transform and the RGB8 pack
-        (ops/pallas/display_pack.finalize_display_packed)."""
+        (render_codes.py:115-126 renders a 2-camera rig per output frame)."""
         c = self.cfg
         a = self.assets
         x = jnp.concatenate([tex_mean_rec, tex_view_rec], axis=-1)
@@ -430,8 +423,6 @@ class BodyAvatar(nn.Module):
         tex = a.seam.fused_apply(tex, n_resample=1)
         tex = resize_bilinear(tex, (c.upscale_size, c.upscale_size))
         tex = tex + self.upscale_net(x)
-        if not finalize:
-            return tex
         # ×std+mean in the carrier dtype: f32 constants would upcast the
         # whole 2048² tail (float promotion), tripling its HBM footprint
         tex = tex * jnp.asarray(a.tex_std, tex.dtype) + a.tex_mean[None].astype(tex.dtype)
@@ -441,32 +432,6 @@ class BodyAvatar(nn.Module):
         if final_seam:
             tex = a.seam_2k.fused_apply(tex, n_resample=2)
         return tex
-
-    def _finalize_display(self, tex_raw, shadow_seamed):
-        """Display-path texture finalisation: ×std+mean, shadow multiply,
-        display transform, RGB8 pack — ONE Pallas pass over the 2048² texture
-        (ops/pallas/display_pack; was 4 XLA fusions around a bf16→f32→int32
-        boundary) — then the packed-space seam fixup.  Returns
-        ``(tex_rec, tex_packed)``; tex_rec is the linear texture for
-        non-display consumers (dead-code-eliminated when only rgb is read).
-
-        Numerics: the kernel runs the texture stats in f32 (free in VMEM),
-        nearer the reference's f32 math than the bf16 carrier chain it
-        replaces; ≥99.999% of packed bytes match the composed-ops result
-        exactly, rest ±1 count except a ~3e-6 fraction at ±2-3 in near-black
-        where Mosaic's pow differs (tests/test_render.py pins this)."""
-        a = self.assets
-        sh = shadow_seamed.astype(tex_raw.dtype)
-        tex_rec = (
-            tex_raw * jnp.asarray(a.tex_std, tex_raw.dtype)
-            + a.tex_mean[None].astype(tex_raw.dtype)
-        ) * sh
-        from audio2photoreal_tpu.ops.pallas.display_pack import finalize_display_packed
-
-        packed = finalize_display_packed(
-            tex_raw, shadow_seamed, a.tex_mean, float(a.tex_std)
-        )
-        return tex_rec, a.seam_2k.fused_apply_packed(packed, 2)
 
     def decode_frame(
         self,
@@ -530,23 +495,23 @@ class BodyAvatar(nn.Module):
         batch."""
         geom_rec = decoded["geom"]
         dec_view = self.decoder_view(geom_rec, decoded["tex_mean_rec"], campos)
+        tex_rec = self.forward_tex(
+            decoded["tex_mean_rec"],
+            dec_view["tex_view_rec"],
+            None,
+            final_seam=not render_display,
+            shadow_seamed=decoded["shadow_seamed"],
+        )
         from audio2photoreal_tpu.render.geometry import project_points
 
         pix, depth = project_points(geom_rec, K, Rt)
         tex_packed = None
         if render_display:
-            tex_raw = self.forward_tex(
-                decoded["tex_mean_rec"], dec_view["tex_view_rec"], None,
-                finalize=False,
-            )
-            tex_rec, tex_packed = self._finalize_display(
-                tex_raw, decoded["shadow_seamed"]
-            )
-        else:
-            tex_rec = self.forward_tex(
-                decoded["tex_mean_rec"], dec_view["tex_view_rec"], None,
-                final_seam=True, shadow_seamed=decoded["shadow_seamed"],
-            )
+            from audio2photoreal_tpu.ops.gridsample import pack_rgb8
+            from audio2photoreal_tpu.render.color import linear2display_batch
+
+            tex_packed = pack_rgb8(linear2display_batch(tex_rec.astype(jnp.float32)))
+            tex_packed = self.assets.seam_2k.fused_apply_packed(tex_packed, 2)
         rgb, raster = render_mesh(
             pix, depth, self.assets.geo.faces, self.assets.geo.uv_coords,
             self.assets.geo.uv_faces, tex_rec,
@@ -607,23 +572,10 @@ class BodyAvatar(nn.Module):
             shadow = self.pose_to_shadow(lbs_motion)
         else:
             shadow = self.shadow_net(ao)
-        use_display_kernel = render_display and not training
-        tex_packed_pre = None
-        if use_display_kernel:
-            # same fused finalisation as render_view so the monolithic and
-            # split paths stay bit-identical (test_avatar split test)
-            shadow_seamed = self.assets.seam_2k.fused_apply(
-                shadow["shadow_map"], n_resample=2
-            )
-            tex_raw = self.forward_tex(
-                dec["tex_mean_rec"], dec_view["tex_view_rec"], None, finalize=False
-            )
-            tex_rec, tex_packed_pre = self._finalize_display(tex_raw, shadow_seamed)
-        else:
-            tex_rec = self.forward_tex(
-                dec["tex_mean_rec"], dec_view["tex_view_rec"], shadow["shadow_map"],
-                final_seam=not render_display,
-            )
+        tex_rec = self.forward_tex(
+            dec["tex_mean_rec"], dec_view["tex_view_rec"], shadow["shadow_map"],
+            final_seam=not render_display,
+        )
         if training and self.cfg.n_cameras > 0 and cam_idx is not None:
             # per-camera color calibration on the texture (:337-339)
             tex_rec = self.cal(tex_rec, cam_idx)
@@ -643,18 +595,14 @@ class BodyAvatar(nn.Module):
             tex_out = tex_rec
             tex_packed = None
             if render_display:
-                if tex_packed_pre is not None:
-                    # the fused-kernel finalisation already produced the
-                    # packed display texture (incl. the packed-space seam)
-                    tex_packed = tex_packed_pre
-                else:  # training+display (calibrated tex_rec): exact chain
-                    from audio2photoreal_tpu.ops.gridsample import pack_rgb8
-                    from audio2photoreal_tpu.render.color import linear2display_batch
+                from audio2photoreal_tpu.ops.gridsample import pack_rgb8
+                from audio2photoreal_tpu.render.color import linear2display_batch
 
-                    tex_packed = pack_rgb8(
-                        linear2display_batch(tex_rec.astype(jnp.float32))
-                    )
-                    tex_packed = self.assets.seam_2k.fused_apply_packed(tex_packed, 2)
+                # display transform → pack RGB8 → final seam fixup applied in
+                # display-packed space (one int32 channel; see
+                # SeamSampler.fused_apply_packed for the ≤1-LSB deviation)
+                tex_packed = pack_rgb8(linear2display_batch(tex_rec.astype(jnp.float32)))
+                tex_packed = self.assets.seam_2k.fused_apply_packed(tex_packed, 2)
             rgb, raster = render_mesh(
                 pix, depth, self.assets.geo.faces, self.assets.geo.uv_coords,
                 self.assets.geo.uv_faces, tex_out,
