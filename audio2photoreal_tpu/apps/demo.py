@@ -25,7 +25,7 @@ from audio2photoreal_tpu.data.dataset import read_wav
 from audio2photoreal_tpu.data.stats import DataStats
 from audio2photoreal_tpu.diffusion import sampling
 from audio2photoreal_tpu.diffusion.respace import maybe_respaced
-from audio2photoreal_tpu.models.cfg import cfg_model_fn, cfg_model_fn_cached
+from audio2photoreal_tpu.models.cfg import cfg_model_fn_cached
 from audio2photoreal_tpu.models.film_transformer import FiLMDenoiser
 from audio2photoreal_tpu.ops.resample import resample
 from audio2photoreal_tpu.train import checkpoints

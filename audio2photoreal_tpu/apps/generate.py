@@ -34,7 +34,7 @@ from audio2photoreal_tpu.data.dataset import SocialDataset, load_local_data
 from audio2photoreal_tpu.data.stats import DataStats
 from audio2photoreal_tpu.diffusion import sampling
 from audio2photoreal_tpu.diffusion.respace import maybe_respaced
-from audio2photoreal_tpu.models.cfg import cfg_model_fn, cfg_model_fn_cached
+from audio2photoreal_tpu.models.cfg import cfg_model_fn_cached
 from audio2photoreal_tpu.models.film_transformer import FiLMDenoiser
 from audio2photoreal_tpu.models.guide import GuideTransformer
 from audio2photoreal_tpu.models.vqvae import TemporalVertexCodec, VQState

@@ -18,6 +18,14 @@ Reference being replaced: the reference renders linear and applies
 ``linear2displayBatch`` per frame on GPU tensors (visualize/render_codes.py:
 121-126); the packed display texture is this framework's TPU design (one
 int32 gather per pixel, round 2).
+
+STATUS (round 5): built, parity-tested, and benchmarked — standalone it is
+14× the composed XLA ops (0.8 vs 11.4 ms/frame @B=16), but wired into the
+product render it measured a consistent −1% (2cam 23.27 → 23.03 FPS): in
+context XLA already fuses the chain to its floor and overlaps it with the
+raster, while this kernel pays planar channel extracts.  Kept UNWIRED as
+the definitive measured close of the "fuse the 2048² elementwise tail"
+prescription (NOTES_ROUND5.md); the render paths use the XLA chain.
 """
 
 from __future__ import annotations
