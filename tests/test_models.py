@@ -271,3 +271,32 @@ def test_cached_cfg_model_fn_matches_uncached():
                 np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5,
                 err_msg=f"{fmt}, scale={scale}",
             )
+
+
+def test_nucleus_sample_empirical_distribution_matches_law():
+    """The top-p DRAW (not just the mask): sampling many tokens from fixed
+    logits must reproduce the shifted-nucleus renormalized distribution
+    (nucleus_probs — the construction pinned against the live reference in
+    test_topp_ancestral_parity) to statistical tolerance."""
+    from audio2photoreal_tpu.models.guide import nucleus_probs
+
+    rng = np.random.RandomState(3)
+    logits_row = rng.randn(8).astype(np.float32) * 1.5
+    top_p = 0.7
+    B = 4096  # draw many samples in one vectorized call
+    logits = jnp.asarray(np.tile(logits_row, (B, 1)))
+    draws = np.asarray(nucleus_sample(jax.random.PRNGKey(11), logits, top_p))
+
+    sorted_idx, keep, kept = nucleus_probs(jnp.asarray(logits_row[None]), top_p)
+    law = np.zeros(8)
+    np.put_along_axis(law[None], np.asarray(sorted_idx), np.asarray(kept), -1)
+
+    emp = np.bincount(draws, minlength=8) / B
+    # tokens outside the nucleus must NEVER be drawn
+    assert emp[law == 0].sum() == 0.0
+    # within the nucleus: ~3 sigma of the binomial at n=4096
+    for tok in np.nonzero(law)[0]:
+        sigma = np.sqrt(law[tok] * (1 - law[tok]) / B)
+        assert abs(emp[tok] - law[tok]) < 4 * sigma + 1e-3, (
+            f"token {tok}: emp {emp[tok]:.4f} vs law {law[tok]:.4f}"
+        )
